@@ -1,0 +1,32 @@
+"""Flax model zoo."""
+from srbh_tpu.models.edsr import EDSR, ResBlock
+from srbh_tpu.models.efficientnet import EfficientNetEncoder
+from srbh_tpu.models.espcn import ESPCN
+from srbh_tpu.models.height_model import (
+    SRRegressClsFeature,
+    SRRegressClsFeatureGeo,
+    SRRegressClsFeatureRefine,
+    SRRegressClsNosuper,
+)
+from srbh_tpu.models.hrfuse import (
+    GeoNet,
+    HRFeature,
+    HRFuse,
+    HRFuseResidual,
+    HRFuseX2,
+    HRUpsample,
+    RefineResidual,
+)
+from srbh_tpu.models.layers import BasicBlock, ConvBNAct, PixelShuffleUpsampler, param_count
+from srbh_tpu.models.rrdbnet import RRDB, RRDBNet, RRDBNetSimple, ResidualDenseBlock
+from srbh_tpu.models.unet_decoder import UnetDecoder
+
+__all__ = [
+    "EDSR", "ResBlock", "EfficientNetEncoder", "ESPCN",
+    "SRRegressClsFeature", "SRRegressClsFeatureGeo",
+    "SRRegressClsFeatureRefine", "SRRegressClsNosuper",
+    "GeoNet", "HRFeature", "HRFuse", "HRFuseResidual", "HRFuseX2",
+    "HRUpsample", "RefineResidual",
+    "BasicBlock", "ConvBNAct", "PixelShuffleUpsampler", "param_count",
+    "RRDB", "RRDBNet", "RRDBNetSimple", "ResidualDenseBlock", "UnetDecoder",
+]
