@@ -1,0 +1,175 @@
+"""Streaming metric accumulators (confusion matrix, height stats, averages).
+
+Functional twins of metrics.py:
+
+* :class:`SegmentationMetric` (metrics.py:6-86) — streaming C x C confusion
+  matrix with OA / precision (UA) / recall (PA) / F1 / IoU / mIoU / FWIoU.
+* :class:`HeightMetric`       (metrics.py:163-234) — per-hierarchy-class
+  RMSE/MAE/ME accumulated **reference-style**: each batch contributes
+  ``batch_metric * count`` (i.e. a count-weighted mean of per-batch RMSEs, not
+  a global RMSE) — reproduced exactly so the ``*_he.csv`` goldens match.
+* :class:`AverageMeter`       (metrics.py:143-160).
+
+Design: the device-side update is a pure jit-able function on an int64/f64
+pytree, so metrics can be accumulated inside the eval step and ``psum``-ed
+across a mesh (SURVEY.md §5.5); the host wrapper only stores the running
+pytree and finalises in numpy float64.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------- functional
+
+def confusion_update(cm: jnp.ndarray, pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """Scatter-add a batch into a (C, C) count matrix (metrics.py:71-79):
+    row = label (reference), col = prediction."""
+    c = cm.shape[0]
+    idx = (label.reshape(-1) * c + pred.reshape(-1)).astype(jnp.int32)
+    flat = jnp.zeros((c * c,), cm.dtype).at[idx].add(1)
+    return cm + flat.reshape(c, c)
+
+
+def height_update(stats: jnp.ndarray, counts: jnp.ndarray,
+                  pred: jnp.ndarray, ref: jnp.ndarray,
+                  buildhir: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """One batch of the reference HeightMetric.addBatch (metrics.py:186-200).
+
+    stats: (C, 3) count-weighted [rmse, mae, me] sums; counts: (C, 1).
+    Classes absent from the batch contribute nothing (count == 0 guard).
+    """
+    num_class = stats.shape[0]
+    pred = pred.reshape(-1).astype(jnp.float32)
+    ref = ref.reshape(-1).astype(jnp.float32)
+    cls = buildhir.reshape(-1)
+
+    def per_class(i):
+        mask = (cls == i)
+        count = jnp.sum(mask.astype(jnp.float32))
+        safe = jnp.maximum(count, 1.0)
+        diff = jnp.where(mask, pred - ref, 0.0)
+        mse = jnp.sum(diff**2) / safe
+        mae = jnp.sum(jnp.abs(diff)) / safe
+        me = jnp.sum(diff) / safe
+        row = jnp.stack([jnp.sqrt(mse), mae, me]) * count
+        return jnp.where(count > 0, row, jnp.zeros(3)), count
+
+    rows, cnts = jax.vmap(per_class)(jnp.arange(num_class))
+    return stats + rows, counts + cnts[:, None]
+
+
+# ------------------------------------------------------------- host wrappers
+
+class SegmentationMetric:
+    """Streaming confusion-matrix metrics (metrics.py:6-86)."""
+
+    def __init__(self, num_class: int):
+        self.num_class = num_class
+        self.reset()
+
+    def reset(self):
+        self.cm = jnp.zeros((self.num_class, self.num_class), jnp.float64
+                            if jax.config.jax_enable_x64 else jnp.float32)
+
+    def add_batch(self, pred, label):
+        self.cm = confusion_update(self.cm, jnp.asarray(pred), jnp.asarray(label))
+
+    addBatch = add_batch  # reference-compatible alias
+
+    # finalisers (host, float64)
+    def _np(self):
+        return np.asarray(self.cm, dtype=np.float64)
+
+    def overall_accuracy(self):
+        cm = self._np()
+        return np.diag(cm).sum() / cm.sum()
+
+    def precision(self):  # UA (metrics.py:20-24)
+        cm = self._np()
+        return np.diag(cm) / cm.sum(axis=0)
+
+    def recall(self):  # PA (metrics.py:26-29)
+        cm = self._np()
+        return np.diag(cm) / cm.sum(axis=1)
+
+    def f1(self):
+        p, r = self.precision(), self.recall()
+        return 2 * p * r / (p + r)
+
+    def iou(self):
+        cm = self._np()
+        inter = np.diag(cm)
+        union = cm.sum(axis=1) + cm.sum(axis=0) - inter
+        return inter / union
+
+    def miou(self):
+        return np.mean(self.iou())
+
+    def fwiou(self):  # per-class frequency-weighted IoU (metrics.py:55-63)
+        cm = self._np()
+        freq = cm.sum(axis=1) / (cm.sum() + 1e-8)
+        iu = np.diag(cm) / (cm.sum(axis=1) + cm.sum(axis=0) - np.diag(cm) + 1e-8)
+        return freq * iu
+
+    def mfwiou(self):
+        return self.fwiou().sum()
+
+    def confusion_matrix(self):
+        return self._np()
+
+
+class HeightMetric:
+    """Per-hierarchy-class height error metrics (metrics.py:163-234)."""
+
+    def __init__(self, num_class: int = 7, buildhir_lut=None):
+        self.num_class = num_class
+        self.reset()
+
+    def reset(self):
+        self.stats = jnp.zeros((self.num_class, 3), jnp.float32)
+        self.counts = jnp.zeros((self.num_class, 1), jnp.float32)
+
+    def add_batch(self, pred, ref, build_class):
+        self.stats, self.counts = height_update(
+            self.stats, self.counts, jnp.asarray(pred), jnp.asarray(ref),
+            jnp.asarray(build_class),
+        )
+
+    addBatch = add_batch
+
+    def avg_each(self):
+        return np.asarray(self.stats, np.float64) / (
+            np.asarray(self.counts, np.float64) + 1e-10)
+
+    def avg_balance(self):
+        return self.avg_each().mean(axis=0)
+
+    def avg_all(self):
+        s = np.asarray(self.stats, np.float64)
+        c = np.asarray(self.counts, np.float64)
+        return s.sum(axis=0) / c.sum()
+
+    def count(self):
+        return np.asarray(self.counts, np.float64)
+
+
+class AverageMeter:
+    """Running value/sum/count/average (metrics.py:143-160)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.avg = 0.0
+
+    def update(self, val, n: int = 1):
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / self.count
