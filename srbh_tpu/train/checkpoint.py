@@ -1,0 +1,76 @@
+"""Checkpointing: orbax pytree checkpoints with the reference's semantics.
+
+Twin of train.py:199-212 / 151-168: save ``{params, batch_stats, opt_state,
+log_vars, epoch, best_rmse}`` every epoch to ``checkpoint/``, snapshot
+``checkpoint{N}`` every 5 epochs, copy ``model_best`` on improvement, and
+resume restoring weights + epoch + log_vars. (The reference's ``best_acc``
+min-update bug — initialised to 0 so ``model_best.tar`` never refreshes,
+SURVEY.md §5.4 — is *fixed* here: best starts at +inf.)
+"""
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckptr():
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
+                    snapshot_every: int = 5, is_best: bool = False):
+    """Write ``checkpoint/`` (+ ``checkpoint{epoch}/``, ``model_best/``)."""
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "log_vars": np.asarray(state.log_vars),
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "best_rmse": float(best_rmse),
+    }
+    path = os.path.abspath(os.path.join(logdir, "checkpoint"))
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    _ckptr().save(path, payload)
+    if snapshot_every and epoch % snapshot_every == 0:
+        snap = os.path.abspath(os.path.join(logdir, f"checkpoint{epoch}"))
+        if os.path.exists(snap):
+            shutil.rmtree(snap)
+        shutil.copytree(path, snap)
+    if is_best:
+        best = os.path.abspath(os.path.join(logdir, "model_best"))
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(path, best)
+    return path
+
+
+def load_checkpoint(path: str) -> Optional[dict]:
+    """Restore a checkpoint dict, or None if absent (resume-from-scratch)."""
+    path = os.path.abspath(path)
+    if not os.path.isdir(path):
+        return None
+    return _ckptr().restore(path)
+
+
+def restore_into_state(state, payload: dict):
+    """Rebuild a TrainState's variable leaves from a checkpoint payload.
+
+    Optimiser state is intentionally not restored, matching the reference's
+    resume (train.py:163-164 commented out).
+    """
+    import jax.numpy as jnp
+
+    tree = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+    stats = jax.tree_util.tree_map(jnp.asarray, payload["batch_stats"])
+    return state.replace(
+        params=tree,
+        batch_stats=stats,
+        log_vars=jnp.asarray(payload["log_vars"]),
+        step=jnp.asarray(payload.get("step", 0), jnp.int32),
+    )

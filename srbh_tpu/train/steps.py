@@ -1,0 +1,101 @@
+"""Jitted train / eval steps for the height model.
+
+One XLA program per step: the frozen Real-ESRGAN feature pass
+(train.py:244, no-grad), the height model forward/backward, the three
+adaptive losses (train.py:251-253), and the optimiser update all fuse into a
+single executable — there is no separate "feature extraction" launch like the
+reference's two-model pipeline.
+
+Sharding: steps are jitted with a ``data``-axis batch sharding and replicated
+state (``srbh_tpu.parallel.mesh``); XLA inserts the gradient psum. BatchNorm
+statistics are computed over the *global* batch (a plain mean under GSPMD),
+which subsumes the reference's single-device BN.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from srbh_tpu.losses.adaptive import ce_dice_adapt_weight, mse_adapt_weight
+from srbh_tpu.train.state import TrainState
+
+
+def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True):
+    """Build the jitted aggre+weight train step (train.py:225-271).
+
+    Batch dict (NHWC): ``image`` (N,64,64,8), ``height`` (N,256,256),
+    ``height_aggre`` (N,64,64), ``build`` (N,256,256) int, ``weight``
+    (N,256,256), ``weight_aggre`` (N,64,64).
+    Returns ``(state, metrics)`` with loss / rmse / log_vars.
+    """
+    rgb = jnp.asarray(rgb_idx)
+
+    def step(state: TrainState, sr_params, batch, lr):
+        sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
+                                features_only=True)
+        sr_fea = jax.lax.stop_gradient(sr_fea)
+
+        def loss_fn(params, log_vars):
+            outs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["image"], sr_fea, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)},
+            )
+            height, build, aggre = outs
+            height = height[..., 0]
+            aggre = aggre[..., 0]
+            loss = (
+                mse_adapt_weight(height, batch["height"], batch["weight"], log_vars[0])
+                + mse_adapt_weight(aggre, batch["height_aggre"], batch["weight_aggre"], log_vars[1])
+                + ce_dice_adapt_weight(build, batch["build"], batch["weight"], log_vars[2])
+            )
+            rmse = jnp.sqrt(jnp.mean((height - batch["height"]) ** 2))
+            return loss, (mutated["batch_stats"], rmse)
+
+        (loss, (new_stats, rmse)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, state.log_vars)
+        state = state.apply_gradients(grads[0], grads[1], lr)
+        state = state.replace(batch_stats=new_stats)
+        metrics = {"loss": loss, "rmse": rmse, "log_vars": state.log_vars}
+        return state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, sr_model, rgb_idx=(0, 1, 2)):
+    """Validation step (train.py:315-344): plain-MSE loss + RMSE on height."""
+    rgb = jnp.asarray(rgb_idx)
+
+    def step(state: TrainState, sr_params, batch):
+        sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
+                                features_only=True)
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], sr_fea, train=False,
+        )
+        height = outs[0][..., 0]
+        mse = jnp.mean((height - batch["height"]) ** 2)
+        return {"loss": mse, "rmse": jnp.sqrt(mse)}
+
+    return jax.jit(step)
+
+
+def make_predict_step(model, sr_model, rgb_idx=(0, 1, 2)):
+    """Inference step returning (height, build logits); the city-scale
+    predictor wraps this with stitching (predict_…globe.py:170-177)."""
+    rgb = jnp.asarray(rgb_idx)
+
+    def step(state: TrainState, sr_params, image):
+        sr_fea = sr_model.apply(sr_params, image[..., rgb], features_only=True)
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            image, sr_fea, train=False,
+        )
+        return outs[0][..., 0], outs[1]
+
+    return jax.jit(step)

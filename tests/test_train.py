@@ -1,0 +1,154 @@
+"""End-to-end train-step tests: loss decreases, DP sharding over the 8-device
+CPU mesh, LR schedule, checkpoint roundtrip.
+
+The tiny pipeline (RRDBNet-1 frozen + 'efficientnet-test' height model) is
+built ONCE per module — setup + train-step compile costs ~2 min on the
+single-core CI host, so every test shares the same jitted step and params.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srbh_tpu import models
+from srbh_tpu.parallel import mesh as pmesh
+from srbh_tpu.train.checkpoint import load_checkpoint, restore_into_state, save_checkpoint
+from srbh_tpu.train.schedule import step_decay_lr
+from srbh_tpu.train.state import TrainState
+from srbh_tpu.train.steps import make_eval_step, make_predict_step, make_train_step
+
+TILE = 32
+BATCH = 8
+
+
+def tiny_setup(batch=BATCH, tile=TILE, seed=0):
+    """Tiny flagship pipeline: RRDBNet(1 block) frozen + test-size height model."""
+    rng = jax.random.PRNGKey(seed)
+    sr = models.RRDBNet(num_block=1, num_feat=8, num_grow_ch=8)
+    model = models.SRRegressClsFeature(
+        encoder_name="efficientnet-test", super_mid=8, isaggre=True,
+        chans_build=7,
+    )
+    x = jnp.zeros((batch, tile, tile, 8))
+    sr_params = jax.jit(sr.init)(rng, x[..., :3])
+    fea_shape = (batch, tile * 4, tile * 4, 8)
+    variables = jax.jit(model.init)(rng, x, jnp.zeros(fea_shape))
+    state = TrainState.create(variables, n_log_vars=3, lr=1e-3)
+    return model, sr, state, sr_params
+
+
+def tiny_batch(batch=BATCH, tile=TILE, seed=0):
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 50, (batch, tile * 4, tile * 4)).astype(np.float32)
+    return {
+        "image": rng.uniform(0, 1, (batch, tile, tile, 8)).astype(np.float32),
+        "height": h,
+        "height_aggre": h.reshape(batch, tile, 4, tile, 4).mean((2, 4)),
+        "build": (h > 10).astype(np.int32) * 3,
+        "weight": np.ones((batch, tile * 4, tile * 4), np.float32),
+        "weight_aggre": np.ones((batch, tile, tile), np.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model, sr, state, sr_params = tiny_setup()
+    host_vars = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+
+    def fresh_state():
+        # cheap donation-safe clone (model init costs ~1 min; this doesn't)
+        return TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, host_vars), n_log_vars=3, lr=1e-3)
+
+    step = make_train_step(model, sr)
+    batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+    return {"model": model, "sr": sr, "fresh_state": fresh_state,
+            "sr_params": sr_params, "step": step, "batch": batch}
+
+
+@pytest.fixture(scope="module")
+def trained(pipeline):
+    """8 steps of training; shared by loss-decrease + checkpoint tests.
+
+    NOTE: donate_argnums=(0,) means each call consumes its input state.
+    """
+    state = pipeline["fresh_state"]()
+    losses = []
+    for _ in range(8):
+        state, m = pipeline["step"](state, pipeline["sr_params"],
+                                    pipeline["batch"], jnp.asarray(1e-3))
+        losses.append(float(m["loss"]))
+    return {"state": state, "losses": losses, "first_metrics_loss": losses[0]}
+
+
+class TestSchedule:
+    def test_step_decay(self):
+        # train.py:68-81 semantics
+        assert step_decay_lr(1e-3, 1) == 1e-3
+        assert step_decay_lr(1e-3, 10) == 1e-3
+        assert step_decay_lr(1e-3, 11) == pytest.approx(1e-4)
+        assert step_decay_lr(1e-3, 20) == pytest.approx(1e-4)
+        assert step_decay_lr(1e-3, 21) == pytest.approx(1e-5)
+
+
+class TestTrainStep:
+    def test_loss_decreases_and_logvars_move(self, trained):
+        losses = trained["losses"]
+        assert losses[-1] < losses[0], losses
+        assert not np.allclose(np.asarray(trained["state"].log_vars), 0.0)
+        assert int(trained["state"].step) == 8
+
+    def test_eval_and_predict_steps(self, pipeline, trained):
+        ev = make_eval_step(pipeline["model"], pipeline["sr"])
+        m = ev(trained["state"], pipeline["sr_params"], pipeline["batch"])
+        assert np.isfinite(float(m["rmse"]))
+        pred = make_predict_step(pipeline["model"], pipeline["sr"])
+        height, build = pred(trained["state"], pipeline["sr_params"],
+                             pipeline["batch"]["image"])
+        assert height.shape == (BATCH, TILE * 4, TILE * 4)
+        assert build.shape == (BATCH, TILE * 4, TILE * 4, 7)
+
+
+class TestDataParallel:
+    def test_dp_matches_single_device(self, pipeline):
+        """Same batch sharded over the 8-device mesh must produce the same
+        loss as the unsharded step (XLA inserts the collectives)."""
+        mesh = pmesh.make_mesh()
+        assert mesh.devices.size == 8
+        state = pipeline["fresh_state"]()
+        _, m1 = pipeline["step"](state, pipeline["sr_params"],
+                                 pipeline["batch"], jnp.asarray(1e-3))
+        loss1 = float(m1["loss"])
+
+        state2 = pipeline["fresh_state"]()
+        sharded = pmesh.shard_batch(pipeline["batch"], mesh)
+        state2 = pmesh.replicate(state2, mesh)
+        sr_rep = pmesh.replicate(pipeline["sr_params"], mesh)
+        state2, m2 = pipeline["step"](state2, sr_rep, sharded, jnp.asarray(1e-3))
+        assert np.isfinite(float(m2["loss"]))
+        np.testing.assert_allclose(loss1, float(m2["loss"]), rtol=2e-5)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, pipeline, trained, tmp_path):
+        state = trained["state"]
+        path = save_checkpoint(str(tmp_path), state, epoch=5, best_rmse=3.3)
+        payload = load_checkpoint(path)
+        assert payload["epoch"] == 5 and payload["best_rmse"] == 3.3
+
+        fresh = pipeline["fresh_state"]()
+        restored = restore_into_state(fresh, payload)
+        for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(restored.log_vars),
+                                   np.asarray(state.log_vars))
+        # snapshot copy exists (epoch 5 % 5 == 0), like checkpoint{N}.tar
+        assert (tmp_path / "checkpoint5").is_dir()
+
+    def test_missing_checkpoint_returns_none(self, tmp_path):
+        assert load_checkpoint(str(tmp_path / "nope")) is None
