@@ -1,0 +1,89 @@
+"""Benchmark: height-inference tiles/sec/chip for the flagship pipeline.
+
+Runs the full reference-equivalent inference path on one TPU chip — frozen
+Real-ESRGAN RRDBNet-23 features + EfficientNet-B4 U-Net height model on
+64x64x8 Sentinel-2/1 tiles producing 256x256 height + 7-class build maps
+(the predict loop of predict_realesanet_feature_globe.py:170-177) — and
+prints ONE JSON line.
+
+Measurement notes
+-----------------
+* The axon relay's ``block_until_ready`` does not actually wait for remote
+  execution (async fire-and-forget): calibration showed >15,000 "TFLOP/s"
+  with naive timing. The honest recipe — used here — is N data-dependent
+  iterations chained through a ``lax.fori_loop`` carry inside ONE jit,
+  synchronised by transferring a scalar that depends on every iteration.
+  The same recipe measures 124 TFLOP/s on chained 4096^3 bf16 matmuls
+  (63% of v5e peak), which is sane.
+* Baseline: the reference publishes no throughput numbers (BASELINE.md).
+  ``vs_baseline`` uses a documented engineering estimate of the PyTorch
+  reference on a V100-class GPU: ~155 GFLOP/tile (RRDBNet trunk 135 GF +
+  upsample ~12 GF + height model ~8 GF) at a realistic 4.5 TFLOP/s fp32
+  => ~30 tiles/sec.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+REFERENCE_TILES_PER_SEC_EST = 30.0
+BATCH = 32
+CHAIN_ITERS = 10
+
+
+def main():
+    from srbh_tpu import models
+
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    sr = models.RRDBNet(num_block=23, num_feat=64, num_grow_ch=32, dtype=dtype)
+    model = models.SRRegressClsFeature(
+        encoder_name="efficientnet-b4", super_mid=16, isaggre=True,
+        chans_build=7, dtype=dtype)
+
+    x = jax.random.uniform(rng, (BATCH, 64, 64, 8), jnp.float32)
+    sr_params = jax.jit(sr.init)(rng, x[..., :3].astype(dtype))
+    variables = jax.jit(model.init)(
+        rng, x.astype(dtype), jnp.zeros((BATCH, 256, 256, 64), dtype))
+
+    def infer_once(image):
+        img = image.astype(dtype)
+        fea = sr.apply(sr_params, img[..., :3], features_only=True)
+        height, build, _ = model.apply(variables, img, fea, train=False)
+        # predictor post-processing (predict_…globe.py:172-177)
+        h = jnp.round(jnp.clip(height[..., 0].astype(jnp.float32), 0, None) * 10
+                      ).astype(jnp.uint16)
+        b = jnp.round(jax.nn.softmax(build.astype(jnp.float32), axis=-1) * 255
+                      ).astype(jnp.uint16)
+        return h, b
+
+    @jax.jit
+    def chained(x):
+        def body(i, carry):
+            x, acc = carry
+            h, b = infer_once(x)
+            # feed a scalar of the output back into the input: forces true
+            # sequential execution, defeats any relay-side caching
+            delta = h.astype(jnp.float32).mean() * 1e-9
+            return x + delta, acc + delta + b.astype(jnp.float32).mean()
+        _, acc = jax.lax.fori_loop(0, CHAIN_ITERS, body, (x, jnp.float32(0)))
+        return acc
+
+    float(chained(x))  # compile + warm
+    t0 = time.perf_counter()
+    s = float(chained(x))  # transfer of the scalar synchronises
+    dt = time.perf_counter() - t0
+    assert s == s, "non-finite bench output"
+
+    tiles_per_sec = BATCH * CHAIN_ITERS / dt
+    print(json.dumps({
+        "metric": "height_inference_tiles_per_sec_per_chip",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/sec",
+        "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
