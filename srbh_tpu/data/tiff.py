@@ -1,0 +1,475 @@
+"""Minimal GeoTIFF reader/writer (pure numpy + zlib).
+
+The reference does all raster I/O through GDAL/rasterio/tifffile C++ bindings
+(BH_loader.py:878-885,968-977; utils/preprocess.py:106-195). None of those
+ship in this image, so the framework carries its own codec with exactly the
+capabilities the pipeline needs:
+
+* read: uint8/uint16/int16/uint32/float32/float64; strip + tile layouts;
+  None/PackBits/Deflate/LZW compression; horizontal-differencing predictor;
+  chunky and planar configs; **windowed reads** (xoff, yoff, xsize, ysize)
+  touching only the strips/tiles that intersect — the gridimgLoader access
+  pattern (BH_loader.py:968-977).
+* write: strip layout, chunky, None/PackBits/Deflate; GeoTIFF geotransform
+  (ModelPixelScale + ModelTiepoint), verbatim GeoKey/projection passthrough
+  from a source file, 256-entry RGBA colormap (utils/preprocess.py:167-195),
+  GDAL nodata.
+
+A C++ fast path for batch strip decode can be layered underneath without
+changing this API (``srbh_tpu/native``).
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# TIFF tag ids
+T_WIDTH, T_LENGTH, T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 256, 257, 258, 259, 262
+T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
+T_PLANAR, T_PREDICTOR, T_COLORMAP, T_SAMPLE_FORMAT = 284, 317, 320, 339
+T_TILE_W, T_TILE_L, T_TILE_OFFSETS, T_TILE_COUNTS = 322, 323, 324, 325
+T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT, T_MODEL_TRANSFORM = 33550, 33922, 34264
+T_GEO_KEYS, T_GEO_DOUBLES, T_GEO_ASCII = 34735, 34736, 34737
+T_GDAL_NODATA = 42113
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8, 16: 8, 17: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 2: "s", 7: "s"}
+
+
+def _sample_dtype(bits: int, fmt: int, endian: str) -> np.dtype:
+    kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
+    return np.dtype(f"{endian}{kind}{bits // 8}")
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i: i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i: i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a run
+        run = 1
+        while i + run < n and run < 127 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            # literal stretch until next run of >=3
+            j = i + 1
+            while j < n and j - i < 128:
+                if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                    break
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    """TIFF-flavour LZW (MSB-first codes, early change)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    dictionary: List[bytes] = []
+
+    def reset():
+        nonlocal dictionary
+        dictionary = [bytes([i]) for i in range(256)] + [b"", b""]
+
+    reset()
+    bitbuf, bitcnt, codesize = 0, 0, 9
+    prev: Optional[bytes] = None
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= codesize:
+            code = (bitbuf >> (bitcnt - codesize)) & ((1 << codesize) - 1)
+            bitcnt -= codesize
+            if code == CLEAR:
+                reset()
+                codesize = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out[:expected])
+            if prev is None:
+                entry = dictionary[code]
+            elif code < len(dictionary):
+                entry = dictionary[code]
+                dictionary.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                dictionary.append(entry)
+            out += entry
+            prev = entry
+            if len(dictionary) >= (1 << codesize) - 1 and codesize < 12:
+                codesize += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    return bytes(out[:expected])
+
+
+def _decompress(data: bytes, method: int, expected: int) -> bytes:
+    if method == 1:
+        return data[:expected]
+    if method in (8, 32946):
+        return zlib.decompress(data)[:expected]
+    if method == 32773:
+        return _packbits_decode(data, expected)
+    if method == 5:
+        return _lzw_decode(data, expected)
+    raise ValueError(f"unsupported TIFF compression {method}")
+
+
+def _undo_predictor(arr: np.ndarray) -> np.ndarray:
+    # horizontal differencing over the last (pixel) axis per row
+    return np.cumsum(arr, axis=-2, dtype=arr.dtype) if False else arr
+
+
+@dataclass
+class TiffInfo:
+    width: int
+    height: int
+    count: int  # bands
+    dtype: np.dtype
+    compression: int
+    geotransform: Tuple[float, float, float, float, float, float]
+    nodata: Optional[float] = None
+    colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None
+    # verbatim projection payloads for lossless passthrough
+    geo_keys: Optional[bytes] = None
+    geo_doubles: Optional[bytes] = None
+    geo_ascii: Optional[bytes] = None
+
+
+class TiffReader:
+    """Single-IFD TIFF reader with windowed access."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        b = self._buf
+        if b[:2] == b"II":
+            self._e = "<"
+        elif b[:2] == b"MM":
+            self._e = ">"
+        else:
+            raise ValueError(f"{path}: not a TIFF")
+        magic, off = struct.unpack(self._e + "HI", b[2:8])
+        if magic != 42:
+            raise ValueError(f"{path}: bad TIFF magic {magic}")
+        self.tags = self._read_ifd(off)
+        self._parse()
+
+    def _read_ifd(self, off: int) -> Dict[int, tuple]:
+        e, b = self._e, self._buf
+        (n,) = struct.unpack(e + "H", b[off: off + 2])
+        tags = {}
+        for i in range(n):
+            ent = b[off + 2 + 12 * i: off + 14 + 12 * i]
+            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            raw = ent[8:12] if size <= 4 else None
+            if raw is None:
+                (ptr,) = struct.unpack(e + "I", ent[8:12])
+                raw = b[ptr: ptr + size]
+            else:
+                raw = raw[:size]
+            tags[tag] = (typ, cnt, raw)
+        return tags
+
+    def _values(self, tag: int):
+        typ, cnt, raw = self.tags[tag]
+        if typ in (2, 7):
+            return raw
+        if typ == 5 or typ == 10:  # rationals
+            fmt = self._e + ("II" if typ == 5 else "ii") * cnt
+            vals = struct.unpack(fmt, raw)
+            return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(cnt)]
+        fmt = self._e + _TYPE_FMT[typ] * cnt
+        return list(struct.unpack(fmt, raw))
+
+    def _tag1(self, tag: int, default=None):
+        if tag not in self.tags:
+            return default
+        v = self._values(tag)
+        return v[0] if isinstance(v, list) else v
+
+    def _parse(self):
+        self.width = int(self._tag1(T_WIDTH))
+        self.height = int(self._tag1(T_LENGTH))
+        self.spp = int(self._tag1(T_SPP, 1))
+        bits = self._values(T_BITS) if T_BITS in self.tags else [8]
+        self.bits = int(bits[0])
+        fmt = self._values(T_SAMPLE_FORMAT) if T_SAMPLE_FORMAT in self.tags else [1]
+        self.dtype = _sample_dtype(self.bits, int(fmt[0]), self._e)
+        self.compression = int(self._tag1(T_COMPRESSION, 1))
+        self.planar = int(self._tag1(T_PLANAR, 1))
+        self.predictor = int(self._tag1(T_PREDICTOR, 1))
+        self.tiled = T_TILE_OFFSETS in self.tags
+        if self.tiled:
+            self.tile_w = int(self._tag1(T_TILE_W))
+            self.tile_l = int(self._tag1(T_TILE_L))
+            self.chunk_offsets = [int(v) for v in self._values(T_TILE_OFFSETS)]
+            self.chunk_counts = [int(v) for v in self._values(T_TILE_COUNTS)]
+        else:
+            self.rows_per_strip = int(self._tag1(T_ROWS_PER_STRIP, self.height))
+            self.chunk_offsets = [int(v) for v in self._values(T_STRIP_OFFSETS)]
+            self.chunk_counts = [int(v) for v in self._values(T_STRIP_COUNTS)]
+
+    # ------------------------------------------------------------- metadata
+    @property
+    def geotransform(self) -> Tuple[float, ...]:
+        """GDAL-style (x0, dx, rx, y0, ry, dy)."""
+        if T_MODEL_TRANSFORM in self.tags:
+            m = self._values(T_MODEL_TRANSFORM)
+            return (m[3], m[0], m[1], m[7], m[4], m[5])
+        if T_MODEL_PIXEL_SCALE in self.tags and T_MODEL_TIEPOINT in self.tags:
+            sx, sy = self._values(T_MODEL_PIXEL_SCALE)[:2]
+            tp = self._values(T_MODEL_TIEPOINT)
+            i, j, _, x, y, _ = tp[:6]
+            return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+        return (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+
+    @property
+    def nodata(self) -> Optional[float]:
+        if T_GDAL_NODATA not in self.tags:
+            return None
+        try:
+            return float(self._values(T_GDAL_NODATA).rstrip(b"\x00").decode())
+        except Exception:
+            return None
+
+    def info(self) -> TiffInfo:
+        cmap = None
+        if T_COLORMAP in self.tags:
+            v = self._values(T_COLORMAP)
+            n = len(v) // 3
+            cmap = {i: (v[i] >> 8, v[n + i] >> 8, v[2 * n + i] >> 8, 255)
+                    for i in range(n)}
+        return TiffInfo(
+            width=self.width, height=self.height, count=self.spp,
+            dtype=self.dtype, compression=self.compression,
+            geotransform=self.geotransform, nodata=self.nodata, colormap=cmap,
+            geo_keys=self.tags.get(T_GEO_KEYS, (0, 0, b""))[2] if T_GEO_KEYS in self.tags else None,
+            geo_doubles=self.tags.get(T_GEO_DOUBLES, (0, 0, b""))[2] if T_GEO_DOUBLES in self.tags else None,
+            geo_ascii=self.tags.get(T_GEO_ASCII, (0, 0, b""))[2] if T_GEO_ASCII in self.tags else None,
+        )
+
+    # ----------------------------------------------------------------- data
+    def _decode_chunk(self, idx: int, shape: Tuple[int, ...]) -> np.ndarray:
+        raw = self._buf[self.chunk_offsets[idx]:
+                        self.chunk_offsets[idx] + self.chunk_counts[idx]]
+        expected = int(np.prod(shape)) * self.dtype.itemsize
+        data = _decompress(raw, self.compression, expected)
+        arr = np.frombuffer(data, self.dtype, count=int(np.prod(shape))).reshape(shape)
+        if self.predictor == 2:
+            arr = np.cumsum(arr, axis=1, dtype=self.dtype)
+        return arr
+
+    def read(self, window: Optional[Tuple[int, int, int, int]] = None) -> np.ndarray:
+        """Read (H, W, C) array; ``window=(xoff, yoff, xsize, ysize)``."""
+        if window is None:
+            window = (0, 0, self.width, self.height)
+        xoff, yoff, xs, ys = window
+        out = np.zeros((ys, xs, self.spp), self.dtype)
+        planes = self.spp if self.planar == 2 else 1
+        chans = 1 if self.planar == 2 else self.spp
+        if self.tiled:
+            tiles_x = (self.width + self.tile_w - 1) // self.tile_w
+            tiles_y = (self.height + self.tile_l - 1) // self.tile_l
+            for p in range(planes):
+                for ty in range(yoff // self.tile_l, (yoff + ys - 1) // self.tile_l + 1):
+                    for tx in range(xoff // self.tile_w, (xoff + xs - 1) // self.tile_w + 1):
+                        idx = p * tiles_x * tiles_y + ty * tiles_x + tx
+                        tile = self._decode_chunk(idx, (self.tile_l, self.tile_w, chans))
+                        y0 = max(ty * self.tile_l, yoff)
+                        y1 = min((ty + 1) * self.tile_l, yoff + ys, self.height)
+                        x0 = max(tx * self.tile_w, xoff)
+                        x1 = min((tx + 1) * self.tile_w, xoff + xs, self.width)
+                        sub = tile[y0 - ty * self.tile_l: y1 - ty * self.tile_l,
+                                   x0 - tx * self.tile_w: x1 - tx * self.tile_w]
+                        if self.planar == 2:
+                            out[y0 - yoff: y1 - yoff, x0 - xoff: x1 - xoff, p] = sub[..., 0]
+                        else:
+                            out[y0 - yoff: y1 - yoff, x0 - xoff: x1 - xoff] = sub
+        else:
+            rps = self.rows_per_strip
+            strips_per_plane = (self.height + rps - 1) // rps
+            for p in range(planes):
+                for s in range(yoff // rps, (yoff + ys - 1) // rps + 1):
+                    rows = min(rps, self.height - s * rps)
+                    strip = self._decode_chunk(p * strips_per_plane + s,
+                                               (rows, self.width, chans))
+                    y0 = max(s * rps, yoff)
+                    y1 = min(s * rps + rows, yoff + ys)
+                    sub = strip[y0 - s * rps: y1 - s * rps, xoff: xoff + xs]
+                    if self.planar == 2:
+                        out[y0 - yoff: y1 - yoff, :, p] = sub[..., 0]
+                    else:
+                        out[y0 - yoff: y1 - yoff] = sub
+        return out
+
+
+def read_tiff(path: str, window=None) -> np.ndarray:
+    """Convenience: (H, W, C) array (C kept even when 1)."""
+    return TiffReader(path).read(window)
+
+
+def _compress(data: bytes, method: str) -> Tuple[bytes, int]:
+    if method in (None, "none", "NONE"):
+        return data, 1
+    if method.upper() == "DEFLATE":
+        return zlib.compress(data, 6), 8
+    if method.upper() == "PACKBITS":
+        return _packbits_encode(data), 32773
+    raise ValueError(f"unsupported write compression {method!r}")
+
+
+def write_tiff(
+    path: str,
+    array: np.ndarray,
+    geotransform: Tuple[float, ...] = (0, 1, 0, 0, 0, -1),
+    compress: Optional[str] = None,
+    colormap: Optional[Dict[int, Tuple[int, int, int, int]]] = None,
+    nodata: Optional[float] = None,
+    like: Optional[TiffInfo] = None,
+    rows_per_strip: int = 256,
+):
+    """Write an (H, W) or (H, W, C) array as a striped chunky GeoTIFF.
+
+    ``like`` carries projection GeoKeys verbatim from a source file
+    (the array2raster pattern, utils/preprocess.py:106-133).
+    """
+    if array.ndim == 2:
+        array = array[..., None]
+    h, w, c = array.shape
+    dt = array.dtype
+    fmt_code = {"u": 1, "i": 2, "f": 3}[dt.kind]
+
+    entries: List[Tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
+
+    def add(tag, typ, values):
+        if isinstance(values, bytes):
+            payload, cnt = values, len(values)
+        else:
+            if not isinstance(values, (list, tuple)):
+                values = [values]
+            payload = struct.pack("<" + _TYPE_FMT[typ] * len(values), *values)
+            cnt = len(values)
+        entries.append((tag, typ, cnt, payload))
+
+    # pixel data as strips
+    strips, counts = [], []
+    comp_id = 1
+    for y0 in range(0, h, rows_per_strip):
+        chunk = np.ascontiguousarray(array[y0: y0 + rows_per_strip]).astype(
+            dt.newbyteorder("<")).tobytes()
+        comp, comp_id = _compress(chunk, compress)
+        strips.append(comp)
+        counts.append(len(comp))
+
+    add(T_WIDTH, 4, w)
+    add(T_LENGTH, 4, h)
+    add(T_BITS, 3, [dt.itemsize * 8] * c)
+    add(T_COMPRESSION, 3, comp_id)
+    add(T_PHOTOMETRIC, 3, 3 if colormap else (2 if c >= 3 else 1))
+    add(T_SPP, 3, c)
+    add(T_ROWS_PER_STRIP, 4, rows_per_strip)
+    add(T_STRIP_COUNTS, 4, counts)
+    add(T_PLANAR, 3, 1)
+    add(T_SAMPLE_FORMAT, 3, [fmt_code] * c)
+    if colormap:
+        n = 1 << (dt.itemsize * 8)
+        r = [0] * n
+        g = [0] * n
+        b = [0] * n
+        for k, (cr, cg, cb, _a) in colormap.items():
+            r[k], g[k], b[k] = int(cr) * 257, int(cg) * 257, int(cb) * 257
+        add(T_COLORMAP, 3, r + g + b)
+    gt = geotransform
+    if gt[2] == 0 and gt[4] == 0:
+        add(T_MODEL_PIXEL_SCALE, 12, [gt[1], -gt[5], 0.0])
+        add(T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, gt[0], gt[3], 0.0])
+    else:
+        add(T_MODEL_TRANSFORM, 12, [gt[1], gt[2], 0, gt[0],
+                                    gt[4], gt[5], 0, gt[3],
+                                    0, 0, 0, 0, 0, 0, 0, 1])
+    if like is not None:
+        if like.geo_keys:
+            entries.append((T_GEO_KEYS, 3, len(like.geo_keys) // 2, like.geo_keys))
+        if like.geo_doubles:
+            entries.append((T_GEO_DOUBLES, 12, len(like.geo_doubles) // 8, like.geo_doubles))
+        if like.geo_ascii:
+            entries.append((T_GEO_ASCII, 2, len(like.geo_ascii), like.geo_ascii))
+    if nodata is not None:
+        s = (repr(nodata).encode() + b"\x00")
+        entries.append((T_GDAL_NODATA, 2, len(s), s))
+
+    # layout: header(8) + IFD + out-of-line payloads + strip data
+    # IFD needs strip offsets entry too -> compute after sizing
+    n_entries = len(entries) + 1  # + strip offsets
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    # out-of-line payload area
+    payload_off = ifd_off + ifd_size
+    oversized = []
+    for tag, typ, cnt, payload in entries:
+        if len(payload) > 4:
+            oversized.append(len(payload) + (len(payload) & 1))
+    strip_off_payload = 4 * len(strips) if len(strips) > 1 else 0
+    data_off = payload_off + sum(oversized) + (strip_off_payload if strip_off_payload > 4 else 0)
+    strip_offsets = []
+    pos = data_off
+    for cnt in counts:
+        strip_offsets.append(pos)
+        pos += cnt + (cnt & 1)
+
+    entries.append((T_STRIP_OFFSETS, 4,
+                    len(strip_offsets),
+                    struct.pack("<" + "I" * len(strip_offsets), *strip_offsets)))
+    entries.sort(key=lambda t: t[0])
+
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    ifd = bytearray(struct.pack("<H", len(entries)))
+    payloads = bytearray()
+    ppos = payload_off
+    for tag, typ, cnt, payload in entries:
+        if len(payload) <= 4:
+            ifd += struct.pack("<HHI", tag, typ, cnt) + payload.ljust(4, b"\x00")
+        else:
+            ifd += struct.pack("<HHII", tag, typ, cnt, ppos)
+            pad = payload + (b"\x00" if len(payload) & 1 else b"")
+            payloads += pad
+            ppos += len(pad)
+    ifd += struct.pack("<I", 0)  # no next IFD
+    out += ifd + payloads
+    assert len(out) == data_off, (len(out), data_off)
+    for s in strips:
+        out += s + (b"\x00" if len(s) & 1 else b"")
+    with open(path, "wb") as f:
+        f.write(out)

@@ -1,0 +1,94 @@
+"""GeoTIFF codec tests: roundtrips, windowed reads, and cross-validation
+against PIL-written files (independent implementation)."""
+import numpy as np
+import pytest
+
+from srbh_tpu.data.tiff import TiffReader, read_tiff, write_tiff
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+@pytest.mark.parametrize("compress", [None, "DEFLATE", "PACKBITS"])
+def test_roundtrip(tmp_path, dtype, compress):
+    rng = np.random.default_rng(0)
+    if np.issubdtype(dtype, np.integer):
+        arr = rng.integers(0, np.iinfo(dtype).max, (70, 53, 3)).astype(dtype)
+    else:
+        arr = rng.normal(size=(70, 53, 3)).astype(dtype)
+    p = str(tmp_path / "t.tif")
+    gt = (500000.0, 10.0, 0.0, 4649776.0, 0.0, -10.0)
+    write_tiff(p, arr, geotransform=gt, compress=compress, rows_per_strip=17)
+    r = TiffReader(p)
+    np.testing.assert_array_equal(r.read(), arr)
+    np.testing.assert_allclose(r.geotransform, gt)
+    assert r.info().dtype == np.dtype("<" + np.dtype(dtype).str[1:])
+
+
+def test_single_band_2d(tmp_path):
+    arr = np.arange(100, dtype=np.uint16).reshape(10, 10)
+    p = str(tmp_path / "b.tif")
+    write_tiff(p, arr, compress="DEFLATE")
+    out = read_tiff(p)
+    np.testing.assert_array_equal(out[..., 0], arr)
+
+
+def test_windowed_read_matches_full(tmp_path):
+    rng = np.random.default_rng(1)
+    arr = rng.integers(0, 255, (100, 120, 2)).astype(np.uint8)
+    p = str(tmp_path / "w.tif")
+    write_tiff(p, arr, compress="PACKBITS", rows_per_strip=13)
+    r = TiffReader(p)
+    # the gridimgLoader access pattern (BH_loader.py:968-977)
+    for (xo, yo, xs, ys) in [(0, 0, 10, 10), (50, 37, 64, 61), (110, 90, 10, 10)]:
+        got = r.read((xo, yo, xs, ys))
+        np.testing.assert_array_equal(got, arr[yo: yo + ys, xo: xo + xs])
+
+
+def test_colormap_and_nodata(tmp_path):
+    from srbh_tpu.predict.colormap import CMAP
+
+    arr = np.random.default_rng(2).integers(0, 7, (32, 32)).astype(np.uint8)
+    p = str(tmp_path / "c.tif")
+    write_tiff(p, arr, compress="PACKBITS", colormap=CMAP, nodata=0)
+    info = TiffReader(p).info()
+    assert info.nodata == 0
+    assert info.colormap[6][:3] == (127, 0, 0)  # red class, CMAP rounding
+    np.testing.assert_array_equal(read_tiff(p)[..., 0], arr)
+
+
+@pytest.mark.parametrize("pil_comp", ["raw", "tiff_deflate", "tiff_lzw", "packbits"])
+def test_reads_pil_written_files(tmp_path, pil_comp):
+    """Cross-validate the reader against an independent writer."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 255, (61, 47, 3)).astype(np.uint8)
+    p = str(tmp_path / f"pil_{pil_comp}.tif")
+    Image.fromarray(arr).save(p, compression=None if pil_comp == "raw" else pil_comp)
+    np.testing.assert_array_equal(read_tiff(p), arr)
+
+
+def test_pil_reads_our_files(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 255, (40, 30, 3)).astype(np.uint8)
+    p = str(tmp_path / "ours.tif")
+    write_tiff(p, arr, compress="DEFLATE")
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), arr)
+
+
+def test_reads_reference_shipped_tifs():
+    """The reference ships predicted GeoTIFFs under weights/realesrgan/pred_2
+    (written by rasterio with PACKBITS) — our reader must open them."""
+    import glob
+
+    files = sorted(glob.glob("/root/reference/weights/realesrgan/pred_2/*_rgb.tif"))
+    if not files:
+        pytest.skip("reference tifs not present")
+    r = TiffReader(files[0])
+    arr = r.read()
+    assert arr.shape[0] > 0 and arr.shape[2] in (1, 3)
+    gt = r.geotransform
+    assert gt[1] != 0
