@@ -1,0 +1,93 @@
+"""Joint image/mask augmentation matching the reference's albumentations
+pipeline (BH_loader.py:17-28):
+
+* ``Flip(p=0.5)``              — horizontal, vertical, or both (d in -1/0/1),
+* ``RandomGridShuffle(2,2,p=0.5)`` — permute the four quadrants,
+* ``Rotate(p=0.5)``            — uniform angle in [-90, 90], reflect-101
+  border, bilinear for the image / nearest for the mask,
+* strong variant ``ColorJitter`` (brightness/contrast/saturation 0.5,
+  hue 0.25, p=0.8) for the unsupervised branch.
+
+Runs host-side (numpy + cv2) inside the input pipeline at the x4 (256 px)
+resolution, exactly where the reference applies it (BH_loader.py:356-359).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+
+def _warp(img: np.ndarray, mat: np.ndarray, interp: int) -> np.ndarray:
+    """cv2.warpAffine for arbitrary channel counts (cv2 caps at 4)."""
+    h, w = img.shape[:2]
+    if img.ndim == 2 or img.shape[2] <= 4:
+        return cv2.warpAffine(img, mat, (w, h), flags=interp,
+                              borderMode=cv2.BORDER_REFLECT_101)
+    chunks = [cv2.warpAffine(img[..., i: i + 4], mat, (w, h), flags=interp,
+                             borderMode=cv2.BORDER_REFLECT_101)
+              for i in range(0, img.shape[2], 4)]
+    chunks = [c[..., None] if c.ndim == 2 else c for c in chunks]
+    return np.concatenate(chunks, axis=-1)
+
+
+def random_flip(rng: np.random.Generator, img, mask):
+    d = int(rng.integers(-1, 2))  # -1 both, 0 vertical, 1 horizontal
+    return cv2.flip(img, d), cv2.flip(mask, d)
+
+
+def grid_shuffle_2x2(rng: np.random.Generator, img, mask):
+    h, w = img.shape[:2]
+    hh, hw = h // 2, w // 2
+    order = rng.permutation(4)
+    cells = [(0, 0), (0, hw), (hh, 0), (hh, hw)]
+    img2, mask2 = np.empty_like(img), np.empty_like(mask)
+    for dst, src in enumerate(order):
+        dy, dx = cells[dst]
+        sy, sx = cells[src]
+        img2[dy: dy + hh, dx: dx + hw] = img[sy: sy + hh, sx: sx + hw]
+        mask2[dy: dy + hh, dx: dx + hw] = mask[sy: sy + hh, sx: sx + hw]
+    return img2, mask2
+
+
+def random_rotate(rng: np.random.Generator, img, mask, limit: float = 90.0):
+    angle = float(rng.uniform(-limit, limit))
+    h, w = img.shape[:2]
+    mat = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+    return (_warp(img, mat, cv2.INTER_LINEAR),
+            _warp(mask, mat, cv2.INTER_NEAREST))
+
+
+def augment_pair(rng: np.random.Generator, img: np.ndarray, mask: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """The training pipeline: each transform fires with p=0.5."""
+    if rng.random() < 0.5:
+        img, mask = random_flip(rng, img, mask)
+    if rng.random() < 0.5:
+        img, mask = grid_shuffle_2x2(rng, img, mask)
+    if rng.random() < 0.5:
+        img, mask = random_rotate(rng, img, mask)
+    return img, mask
+
+
+def color_jitter(rng: np.random.Generator, img01: np.ndarray,
+                 brightness=0.5, contrast=0.5, saturation=0.5, hue=0.25,
+                 p=0.8) -> np.ndarray:
+    """Strong augmentation on a [0,1] RGB image (BH_loader.py:24-28)."""
+    if rng.random() >= p:
+        return img01
+    out = img01.astype(np.float32).copy()
+    b = 1.0 + float(rng.uniform(-brightness, brightness))
+    c = 1.0 + float(rng.uniform(-contrast, contrast))
+    s = 1.0 + float(rng.uniform(-saturation, saturation))
+    hshift = float(rng.uniform(-hue, hue))
+    out = out * b
+    mean = out.mean(axis=(0, 1), keepdims=True)
+    out = (out - mean) * c + mean
+    gray = out.mean(axis=-1, keepdims=True)
+    out = (out - gray) * s + gray
+    hsv = cv2.cvtColor(np.clip(out, 0, 1), cv2.COLOR_RGB2HSV)
+    hsv[..., 0] = (hsv[..., 0] + hshift * 360.0) % 360.0
+    out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return np.clip(out, 0.0, 1.0)

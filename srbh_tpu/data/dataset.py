@@ -1,0 +1,235 @@
+"""Tile datasets: the host-side sample producers.
+
+Twin of the BH_loader.py dataset classes, returning numpy dicts ready for
+``srbh_tpu.data.pipeline`` batching:
+
+* :class:`S12GlobeDataset`      (BH_loader.py:282-400) — the main training /
+  eval dataset: S2 (first ``nchans``) + S1 GeoTIFF tiles, min-max or mean-std
+  per-region normalisation with (0,1) clipping, joint augmentation at the x4
+  grid, hierarchical class mask + per-pixel weights, 64x64 aggregated height
+  GT. Exact pixel recipe: img x4 nearest -> aug -> normalise -> x0.25
+  nearest -> clip (BH_loader.py:354-369).
+* :class:`S2GlobeDataset` / :class:`S1GlobeDataset` (BH_loader.py:404-634) —
+  single-sensor ablations.
+* :class:`LRHRPairDataset`      (BH_loader.py:638-757) — LR (S2 RGB) / HR
+  (GoogleEarth) pairs for SR finetuning, with joint flips.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+import pandas as pd
+
+from srbh_tpu.data.augment import augment_pair
+from srbh_tpu.data.tiff import read_tiff
+from srbh_tpu.ops.hierarchy import DEFAULT_HIR, WEIGHT_METHODS, build_hierarchy_lut
+from srbh_tpu.ops.normalize import load_stats_table, norm_offsets
+
+
+def _aggregate_numpy(height: np.ndarray, scale: float = 0.25) -> np.ndarray:
+    """Block mean (aggregate_torch semantics: validity = h >= 0,
+    aggregate_utils.py:29-41)."""
+    step = int(round(1 / scale))
+    h, w = height.shape
+    blocks = height.reshape(h // step, step, w // step, step).astype(np.float64)
+    num = blocks.sum(axis=(1, 3))
+    den = (blocks >= 0).sum(axis=(1, 3))
+    return (num / (den + 1e-10)).astype(np.float32)
+
+
+class S12GlobeDataset:
+    """Sentinel-2 + Sentinel-1 tile dataset with hierarchy targets."""
+
+    def __init__(self, datalist: str, rootname: str, datastats: str = "datastats",
+                 normmethod: str = "minmax", datarange: Optional[Tuple] = (0, 1),
+                 aug: bool = False, num_sample: int = 0,
+                 s1dir: str = "s1", s2dir: str = "s2", heightdir: str = "bh",
+                 preweight: Optional[str] = None, isaggre: bool = False,
+                 ishir: bool = False, hir=DEFAULT_HIR, nchans: int = 6,
+                 weightmethod: str = "sqrt", seed: int = 1337):
+        self.nchans = nchans
+        self.datalist = pd.read_csv(datalist, sep=",", header=None)
+        if len(self.datalist.columns) == 1:
+            for d in (s1dir, s2dir, heightdir):
+                self.datalist[d] = d
+        if num_sample > 0:
+            self.datalist = self.datalist[:num_sample]
+        self.aug = aug
+        self.rootname = rootname
+        self.s2_off = self.s2_scale = self.s1_off = self.s1_scale = None
+        s2_path = os.path.join(datastats, f"{s2dir}_{normmethod}.txt")
+        if nchans > 0 and os.path.exists(s2_path):
+            self.s2_off, self.s2_scale = norm_offsets(
+                load_stats_table(s2_path, nchans), normmethod)
+        s1_path = os.path.join(datastats, f"{s1dir}_{normmethod}.txt")
+        if os.path.exists(s1_path):
+            self.s1_off, self.s1_scale = norm_offsets(
+                load_stats_table(s1_path), normmethod)
+        self.datarange = datarange
+        num_hier = len(hir) - 1
+        self.heightweight = np.ones((num_hier,))
+        if preweight is not None:
+            stats = np.loadtxt(preweight)
+            self.heightweight = WEIGHT_METHODS.get(
+                weightmethod, WEIGHT_METHODS["sqrt"])(stats, hir)
+        self.isaggre = isaggre
+        self.ishir = ishir
+        self.buildhir = build_hierarchy_lut(hir) if ishir else None
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.datalist)
+
+    def _load_pair(self, index):
+        row = self.datalist.iloc[index]
+        basename, s1dir, s2dir, bhdir = row[0], row[1], row[2], row[3]
+        s2 = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
+        s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
+        img = np.concatenate([s2, s1], axis=-1).astype(np.float32)
+        hpath = os.path.join(self.rootname, bhdir, basename)
+        if os.path.exists(hpath):
+            height = read_tiff(hpath)[..., 0]
+        else:
+            height = np.ones((256, 256), np.uint8)  # BH_loader.py:346
+        return img, height, os.path.join(self.rootname, s2dir, basename)
+
+    def __getitem__(self, index):
+        img, height, img_path = self._load_pair(index)
+        h, w = img.shape[:2]
+        # x4 nearest up so augmentation acts on the 2.5 m grid (BH_loader.py:355)
+        img = cv2.resize(img, (4 * w, 4 * h), interpolation=cv2.INTER_NEAREST)
+        if self.aug:
+            img, height = augment_pair(self._rng, img, height)
+        # normalise: first nchans are S2, rest S1 (BH_loader.py:361-363)
+        bs2 = self.nchans
+        if bs2 > 0 and self.s2_off is not None:
+            img[..., :bs2] = (img[..., :bs2] - self.s2_off) / self.s2_scale
+        if img.shape[-1] > bs2 and self.s1_off is not None:
+            img[..., bs2:] = (img[..., bs2:] - self.s1_off) / self.s1_scale
+        img = img[::4, ::4, :]  # x0.25 nearest (BH_loader.py:365)
+        if isinstance(self.datarange, tuple):
+            img = img.clip(*self.datarange)
+
+        height = height.astype(np.float32)
+        if self.ishir:
+            build = self.buildhir[height.astype(np.int64).clip(0, 255)]
+            weight = self.heightweight[build].astype(np.float32)
+        else:
+            build = (height > 0).astype(np.int64)
+            weight = np.ones_like(build, np.float32)
+
+        sample = {"image": np.ascontiguousarray(img),
+                  "height": height, "build": build.astype(np.int32),
+                  "weight": weight, "path": img_path}
+        if self.isaggre:
+            aggre = _aggregate_numpy(height, 0.25)
+            build_aggre = self.buildhir[aggre.astype(np.int64).clip(0, 255)]
+            sample["height_aggre"] = aggre
+            sample["weight_aggre"] = self.heightweight[build_aggre].astype(np.float32)
+        return sample
+
+
+class S2GlobeDataset(S12GlobeDataset):
+    """S2-only ablation (BH_loader.py:404-516)."""
+
+    def _load_pair(self, index):
+        row = self.datalist.iloc[index]
+        basename, _s1dir, s2dir, bhdir = row[0], row[1], row[2], row[3]
+        s2 = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
+        img = s2.astype(np.float32)
+        hpath = os.path.join(self.rootname, bhdir, basename)
+        height = (read_tiff(hpath)[..., 0] if os.path.exists(hpath)
+                  else np.ones((256, 256), np.uint8))
+        return img, height, os.path.join(self.rootname, s2dir, basename)
+
+    def __getitem__(self, index):
+        sample = super().__getitem__(index)
+        return sample
+
+
+class S1GlobeDataset(S12GlobeDataset):
+    """S1-only ablation (BH_loader.py:520-634)."""
+
+    def _load_pair(self, index):
+        row = self.datalist.iloc[index]
+        basename, s1dir, _s2dir, bhdir = row[0], row[1], row[2], row[3]
+        s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
+        img = s1.astype(np.float32)
+        hpath = os.path.join(self.rootname, bhdir, basename)
+        height = (read_tiff(hpath)[..., 0] if os.path.exists(hpath)
+                  else np.ones((256, 256), np.uint8))
+        return img, height, os.path.join(self.rootname, s1dir, basename)
+
+    def __getitem__(self, index):
+        # S1-only: all channels normalised with the S1 table
+        img, height, img_path = self._load_pair(index)
+        h, w = img.shape[:2]
+        img = cv2.resize(img, (4 * w, 4 * h), interpolation=cv2.INTER_NEAREST)
+        if self.aug:
+            img, height = augment_pair(self._rng, img, height)
+        img = (img - self.s1_off) / self.s1_scale
+        img = img[::4, ::4, :]
+        if isinstance(self.datarange, tuple):
+            img = img.clip(*self.datarange)
+        height = height.astype(np.float32)
+        if self.ishir:
+            build = self.buildhir[height.astype(np.int64).clip(0, 255)]
+            weight = self.heightweight[build].astype(np.float32)
+        else:
+            build = (height > 0).astype(np.int64)
+            weight = np.ones_like(build, np.float32)
+        sample = {"image": np.ascontiguousarray(img.astype(np.float32)),
+                  "height": height, "build": build.astype(np.int32),
+                  "weight": weight, "path": img_path}
+        if self.isaggre:
+            aggre = _aggregate_numpy(height, 0.25)
+            build_aggre = self.buildhir[aggre.astype(np.int64).clip(0, 255)]
+            sample["height_aggre"] = aggre
+            sample["weight_aggre"] = self.heightweight[build_aggre].astype(np.float32)
+        return sample
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("nchans", 0)
+        super().__init__(*args, **kwargs)
+        # S1 table drives everything; S2 table may not exist for pure-S1 runs
+
+
+class LRHRPairDataset:
+    """LR (Sentinel-2 RGB) / HR (GoogleEarth) pairs for Real-ESRGAN
+    finetuning (BH_loader.py:638-757), with joint random flips."""
+
+    def __init__(self, datalist: str, rootname: str, datastats: str,
+                 normmethod: str = "minmax", aug: bool = False,
+                 num_sample: int = 0, s2dir: str = "s2", gedir: str = "ge",
+                 nchans: int = 3, seed: int = 1337):
+        self.datalist = pd.read_csv(datalist, sep=",", header=None)
+        if num_sample > 0:
+            self.datalist = self.datalist[:num_sample]
+        self.rootname = rootname
+        self.s2dir, self.gedir = s2dir, gedir
+        self.nchans = nchans
+        self.aug = aug
+        table = load_stats_table(os.path.join(datastats, f"{s2dir}_{normmethod}.txt"),
+                                 nchans)
+        self.off, self.scale = norm_offsets(table, normmethod)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.datalist)
+
+    def __getitem__(self, index):
+        row = self.datalist.iloc[index]
+        basename = row[0]
+        s2dir = row[2] if len(self.datalist.columns) > 2 else self.s2dir
+        gedir = row[4] if len(self.datalist.columns) > 4 else self.gedir
+        lr = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
+        hr = read_tiff(os.path.join(self.rootname, gedir, basename))[..., :3]
+        lr = ((lr.astype(np.float32) - self.off) / self.scale).clip(0, 1)
+        hr = hr.astype(np.float32) / 255.0
+        if self.aug and self._rng.random() < 0.5:
+            d = int(self._rng.integers(-1, 2))
+            lr, hr = cv2.flip(lr, d), cv2.flip(hr, d)
+        return {"lq": np.ascontiguousarray(lr), "gt": np.ascontiguousarray(hr)}
