@@ -1,0 +1,119 @@
+"""City-scale sliding-window height/build prediction.
+
+Twin of predict_realesanet_feature_globe.py:68-233: for each city, iterate
+the WSF-valid fishnet grids, run the frozen-SR + height model on fixed-shape
+64x64 batches, blend overlaps, and write ``{city}_build.tif`` (uint8,
+colormap, 2.5 m) and ``{city}_height.tif`` (uint16 decimetres, DEFLATE).
+
+TPU design: the whole per-batch path — RRDBNet features, height model,
+clamp/round/softmax scaling (predict_…globe.py:172-177) — is ONE jitted
+program with fixed (batch, 64, 64, 8) shapes; ragged tail batches are padded
+and masked out at accumulation time. Cities with an existing build tif are
+skipped (idempotent resume, predict_…globe.py:130-131).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srbh_tpu.data.grid import GridImageDataset
+from srbh_tpu.predict.stitcher import MosaicAccumulator
+from srbh_tpu.predict.writers import array2raster, array2raster_rio
+
+
+def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16):
+    """Jitted batch step: image -> (uint16 height dm, uint16 build softmax)."""
+    rgb = jnp.asarray(rgb_idx)
+
+    @jax.jit
+    def step(variables, sr_params, image):
+        img = image.astype(dtype)
+        fea = sr_model.apply(sr_params, img[..., rgb], features_only=True)
+        outs = model.apply(variables, img, fea, train=False)
+        height, build = outs[0], outs[1]
+        h = jnp.round(jnp.clip(height[..., 0].astype(jnp.float32), 0, None)
+                      * 10).astype(jnp.uint16)
+        b = jnp.round(jax.nn.softmax(build.astype(jnp.float32), axis=-1)
+                      * 255).astype(jnp.uint16)
+        return h, b
+
+    return step
+
+
+def predict_city(
+    dataset: GridImageDataset,
+    step,
+    variables,
+    sr_params,
+    respath: str,
+    cityname: str,
+    chans_build: int = 7,
+    batch_size: int = 32,
+    upscale: int = 4,
+):
+    """Predict one city mosaic and write build/height GeoTIFFs."""
+    build_tif = os.path.join(respath, f"{cityname}_build.tif")
+    height_tif = os.path.join(respath, f"{cityname}_height.tif")
+    if os.path.exists(build_tif):
+        return build_tif, height_tif  # resume: skip completed city
+
+    acc = MosaicAccumulator(dataset.width, dataset.height, chans_build, upscale)
+    n = len(dataset)
+    window = dataset.window
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        samples = [dataset[i] for i in idxs]
+        images = np.stack([s["image"] for s in samples])
+        pos = np.stack([s["pos"] for s in samples])
+        if images.shape[0] < batch_size:  # pad tail batch to fixed shape
+            pad = batch_size - images.shape[0]
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+        h, b = step(variables, sr_params, jnp.asarray(images))
+        h = np.asarray(h)[: len(idxs)]
+        b = np.asarray(b)[: len(idxs)]
+        acc.add_batch(h, b, pos)
+
+    height, build_cls, weight = acc.finalize()
+    nres = dataset.geotrans[1] / upscale
+    os.makedirs(respath, exist_ok=True)
+    array2raster_rio(build_tif, build_cls, dataset.s2path,
+                     nresolution=nres, iscmap=True)
+    array2raster(height_tif, height, dataset.s2path, nresolution=nres,
+                 compress="DEFLATE")
+    return build_tif, height_tif
+
+
+def predict_cities(
+    wholeimgpath: str,
+    citynames: Sequence[str],
+    model, sr_model, variables, sr_params,
+    datastats: str,
+    respath: str,
+    s1dir: str = "s1globe_check", s2dir: str = "s2globe_check",
+    gridvalid: Optional[str] = "isv",
+    nchans: int = 6, chans_build: int = 7, batch_size: int = 32,
+):
+    """The per-region driver loop (predict_…globe.py:122-133,221-233)."""
+    step = make_city_step(model, sr_model)
+    results = []
+    for cityname in citynames:
+        ds = GridImageDataset(wholeimgpath, cityname, datastats,
+                              s1dir=s1dir, s2dir=s2dir,
+                              gridvalid=gridvalid, nchans=nchans)
+        results.append(predict_city(ds, step, variables, sr_params,
+                                    respath, cityname, chans_build,
+                                    batch_size))
+    return results
+
+
+def city_names_from_dir(wholeimgpath: str) -> list:
+    """getcitynamelist (predict_…globe.py:213-218): *_s2.tif stems."""
+    import pathlib
+
+    return [p.stem[:-3] for p in sorted(
+        pathlib.Path(wholeimgpath).glob("*_s2.tif"))]
