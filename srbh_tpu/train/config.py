@@ -1,0 +1,91 @@
+"""CLI configuration mirroring the reference's argparse surface.
+
+Twin of train.py:24-65 / predict_realesanet_feature_globe.py:26-65: same
+flag names, same city-templated defaults, so reference users can carry their
+invocations over unchanged.
+"""
+from __future__ import annotations
+
+import argparse
+from dataclasses import dataclass, field, fields
+from typing import List, Optional, Tuple
+
+
+@dataclass
+class TrainConfig:
+    datapath: str = "./data"
+    trainlist: str = "datalist_globe_train_0.7.csv"
+    vallist: str = "datalist_globe_test_0.7_val_0.3.csv"
+    testlist: str = "datalist_globe_test_0.7_test_0.3.csv"
+    logdir: str = "./weights/realesrgan_feature_aggre_weight_globe"
+    logdirhr: str = "./weights/realesrgan/checkpoint2"  # frozen SR checkpoint
+    rgbseq: Tuple[int, ...] = (0, 1, 2)
+    checkpoint: str = "checkpoint"
+    nchans: int = 8
+    nchanss2: int = 6
+    maxepoch: int = 30
+    lr: float = 1e-3
+    weight_decay: float = 1e-4
+    datastats: str = "datastatsglobe"
+    preweight: Optional[str] = "datastatsglobe/bh_stats_globe.txt"
+    s1dir: str = "s1globe_check"
+    s2dir: str = "s2globe_check"
+    bhdir: str = "bhglobe"
+    isaggre: bool = True
+    ishir: bool = True
+    hir: Tuple[int, ...] = (0, 3, 12, 21, 30, 60, 90, 256)
+    chans_build: int = 7
+    batch_size: int = 16
+    num_workers: int = 8
+    encoder_name: str = "efficientnet-b4"
+    super_mid: int = 16
+    upscale: int = 4
+    seed: int = 1337
+    # predict-time
+    wholeimgpath: str = "./data/urban/input_data"
+    cityname: Tuple[str, ...] = ()
+    grid: int = 64
+    stride: int = 60
+    # TPU knobs (new)
+    bf16: bool = False
+    num_sample: int = 0
+    # frozen-SR architecture (defaults = Real-ESRGAN x4plus, train.py:133-136)
+    sr_num_block: int = 23
+    sr_num_feat: int = 64
+    sr_num_grow: int = 32
+    tile: int = 64
+
+
+def get_args(city: str = "globe", argv: Optional[List[str]] = None) -> TrainConfig:
+    """argparse twin of train.py:24-65 with city-templated defaults."""
+    cfg = TrainConfig(
+        trainlist=f"datalist_{city}_train_0.7.csv",
+        vallist=f"datalist_{city}_test_0.7_val_0.3.csv",
+        testlist=f"datalist_{city}_test_0.7_test_0.3.csv",
+        logdir=f"./weights/realesrgan_feature_aggre_weight_{city}",
+        preweight=f"datastatsglobe/bh_stats_{city}.txt",
+        s1dir=f"s1{city}_check",
+        s2dir=f"s2{city}_check",
+        bhdir=f"bh{city}",
+    )
+    parser = argparse.ArgumentParser()
+    for f in fields(TrainConfig):
+        default = getattr(cfg, f.name)
+        if isinstance(default, bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in
+                                ("1", "true", "yes"), default=default)
+        elif isinstance(default, tuple):
+            parser.add_argument(f"--{f.name}", nargs="*",
+                                type=type(default[0]) if default else str,
+                                default=list(default))
+        else:
+            parser.add_argument(f"--{f.name}",
+                                type=type(default) if default is not None else str,
+                                default=default)
+    ns = parser.parse_args(argv or [])
+    for f in fields(TrainConfig):
+        v = getattr(ns, f.name)
+        if isinstance(getattr(cfg, f.name), tuple) and isinstance(v, list):
+            v = tuple(v)
+        setattr(cfg, f.name, v)
+    return cfg

@@ -1,0 +1,97 @@
+"""End-to-end CLI-driver test: train 2 tiny epochs on synthetic tiles, resume,
+evaluate, check the acc artifact schemas (SURVEY.md §4 'tiny-run' plan)."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from srbh_tpu.data.tiff import write_tiff
+from srbh_tpu.train.config import TrainConfig
+from srbh_tpu.train import trainer
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data = root / "data"
+    rng = np.random.default_rng(0)
+    names = [f"t_{i}.tif" for i in range(8)]
+    for d in ("s2c", "s1c", "bhc"):
+        os.makedirs(data / d)
+    gt = (500000.0, 10.0, 0.0, 4649776.0, 0.0, -10.0)
+    for n in names:
+        write_tiff(str(data / "s2c" / n),
+                   rng.integers(0, 5000, (32, 32, 6)).astype(np.uint16), gt)
+        write_tiff(str(data / "s1c" / n),
+                   rng.uniform(-25, 5, (32, 32, 2)).astype(np.float32), gt)
+        write_tiff(str(data / "bhc" / n),
+                   rng.integers(0, 100, (128, 128)).astype(np.uint8),
+                   (gt[0], 2.5, 0, gt[3], 0, -2.5))
+    for split in ("train", "val", "test"):
+        pd.DataFrame({0: names, 1: "s1c", 2: "s2c", 3: "bhc"}).to_csv(
+            data / f"dl_{split}.csv", header=False, index=False)
+    stats = root / "stats"
+    os.makedirs(stats)
+    np.savetxt(stats / "s2c_minmax.txt",
+               np.stack([np.zeros(6), np.full(6, 5000.0)]))
+    np.savetxt(stats / "s1c_minmax.txt",
+               np.stack([np.full(2, -25.0), np.full(2, 5.0)]))
+    hist = np.zeros(256)
+    hist[:100] = 1000
+    np.savetxt(stats / "bh_stats.txt", hist)
+    return root
+
+
+def make_cfg(root) -> TrainConfig:
+    return TrainConfig(
+        datapath=str(root / "data"),
+        trainlist="dl_train.csv", vallist="dl_val.csv", testlist="dl_test.csv",
+        logdir=str(root / "logs"), logdirhr=str(root / "no_sr_ckpt"),
+        datastats=str(root / "stats"),
+        preweight=str(root / "stats" / "bh_stats.txt"),
+        s1dir="s1c", s2dir="s2c", bhdir="bhc",
+        maxepoch=2, batch_size=4, num_workers=2,
+        encoder_name="efficientnet-test", super_mid=8,
+        sr_num_block=1, sr_num_feat=8, sr_num_grow=8, tile=32,
+    )
+
+
+class TestTrainDriver:
+    def test_train_two_epochs(self, workdir):
+        cfg = make_cfg(workdir)
+        state = trainer.main(cfg, writer=None)
+        assert int(state.step) == 2 * 2  # 8 tiles / batch 4 = 2 steps/epoch
+        assert os.path.isdir(os.path.join(cfg.logdir, "checkpoint"))
+        # best copy exists (val rmse always improves from +inf)
+        assert os.path.isdir(os.path.join(cfg.logdir, "model_best"))
+
+    def test_resume_continues(self, workdir):
+        cfg = make_cfg(workdir)
+        cfg.maxepoch = 3
+        state = trainer.main(cfg, writer=None)
+        assert int(state.step) == 3 * 2  # 2 old + 1 new epoch
+
+    def test_main_test_artifacts(self, workdir):
+        cfg = make_cfg(workdir)
+        res = trainer.main_test(cfg, num_sample=0, suffix="syn")
+        assert res is not None and np.isfinite(res["rmse"])
+        txt = res["txtpath"]
+        assert os.path.exists(txt)
+        assert float(open(txt).read()) == pytest.approx(res["rmse"])
+        seg = pd.read_csv(txt[:-4] + "_seg.csv", header=None)
+        assert list(seg.iloc[:6, 7]) == ["oa_miou_mfiou", "fiou", "iou",
+                                         "f1", "ua", "pa"]
+        he = pd.read_csv(txt[:-4] + "_he.csv")
+        assert list(he.columns) == ["rmse", "mae", "me", "count"]
+        assert len(he) == 9
+
+    def test_main_test_saves_tifs(self, workdir):
+        cfg = make_cfg(workdir)
+        res = trainer.main_test(cfg, num_sample=0, suffix="sv", issave=True,
+                                max_batches=1)
+        epoch = 3
+        pred_dir = os.path.join(cfg.logdir, f"pred_{epoch}_sv")
+        files = os.listdir(pred_dir)
+        assert any(f.endswith("_predprob.tif") for f in files)
+        assert any(f.endswith("_build.tif") for f in files)
