@@ -1,0 +1,140 @@
+"""Aux loss library: sanity + oracle checks."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srbh_tpu.losses import segmentation as seg
+from srbh_tpu.losses import ssim_loss as sl
+
+torch = pytest.importorskip("torch")
+
+
+def rand_batch(seed=0, n=2, hw=8, c=4):
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(size=(n, hw, hw, c)).astype(np.float32)
+    labels = rng.integers(0, c, size=(n, hw, hw))
+    return jnp.asarray(logits), jnp.asarray(labels)
+
+
+class TestDiceFamily:
+    def test_perfect_prediction_bounds(self):
+        labels = jnp.asarray(np.random.default_rng(0).integers(0, 3, (2, 8, 8)))
+        logits = jax.nn.one_hot(labels, 3) * 100.0  # near-certain
+        assert float(seg.soft_dice_loss(logits, labels)) < -0.99
+        assert float(seg.iou_loss(logits, labels)) < -0.99
+        assert float(seg.tversky_loss(logits, labels)) < -0.99
+        assert float(seg.gdice_loss(logits, labels)) < 0.01
+        assert float(seg.lovasz_softmax(jax.nn.softmax(logits, -1), labels)) < 0.01
+
+    def test_all_finite_on_random(self):
+        logits, labels = rand_batch()
+        fns = [
+            lambda: seg.soft_dice_loss(logits, labels),
+            lambda: seg.soft_dice_loss(logits, labels, batch_dice=True, do_bg=False),
+            lambda: seg.iou_loss(logits, labels),
+            lambda: seg.tversky_loss(logits, labels),
+            lambda: seg.focal_tversky_loss(logits, labels),
+            lambda: seg.asym_loss(logits, labels),
+            lambda: seg.ss_loss(logits, labels),
+            lambda: seg.gdice_loss(logits, labels),
+            lambda: seg.focal_loss(logits, labels),
+            lambda: seg.focal_loss(logits, labels, alpha=0.25),
+            lambda: seg.focal_loss(logits, labels, alpha=[1, 2, 3, 4]),
+            lambda: seg.lovasz_softmax(jax.nn.softmax(logits, -1), labels),
+            lambda: seg.topk_ce_loss(logits, labels),
+            lambda: seg.weighted_ce_loss(logits, labels, [1, 2, 1, 0.5]),
+            lambda: seg.dc_and_ce_loss(logits, labels),
+            lambda: seg.dc_and_topk_loss(logits, labels),
+            lambda: seg.explog_loss(logits, labels),
+        ]
+        for fn in fns:
+            assert np.isfinite(float(fn())), fn
+
+    def test_tversky_reduces_to_dice(self):
+        logits, labels = rand_batch(1)
+        # equality holds only as smooth -> 0 (dice smooths numerator by s,
+        # tversky by s; the /2 factor differs otherwise)
+        tv = float(seg.tversky_loss(logits, labels, alpha=0.5, beta=0.5,
+                                    smooth=1e-8))
+        dc = float(seg.soft_dice_loss(logits, labels, smooth=1e-8))
+        assert tv == pytest.approx(dc, abs=1e-5)
+
+    def test_focal_gamma0_is_weighted_ce(self):
+        # gamma=0, uniform alpha, no smoothing -> plain CE
+        logits, labels = rand_batch(2)
+        f = float(seg.focal_loss(logits, labels, gamma=0.0, smooth=None))
+        ce = float(torch.nn.functional.cross_entropy(
+            torch.from_numpy(np.array(logits)).permute(0, 3, 1, 2),
+            torch.from_numpy(np.array(labels)).long()))
+        assert f == pytest.approx(ce, abs=1e-5)
+
+    def test_topk_matches_torch_topk(self):
+        logits, labels = rand_batch(3)
+        lt = torch.from_numpy(np.array(logits)).permute(0, 3, 1, 2)
+        rt = torch.from_numpy(np.array(labels)).long()
+        ce = torch.nn.functional.cross_entropy(lt, rt, reduction="none").view(-1)
+        k = int(ce.numel() * 0.1)
+        want = float(ce.topk(k)[0].mean())
+        got = float(seg.topk_ce_loss(logits, labels, k=10.0))
+        assert got == pytest.approx(want, abs=1e-5)
+
+
+class TestBoundaryLosses:
+    def test_distance_transform_and_bd(self):
+        labels = np.zeros((1, 8, 8), np.int64)
+        labels[0, 2:6, 2:6] = 1
+        dt = seg.one_hot_distance_transform(labels, 2, signed=True)
+        assert dt.shape == (1, 8, 8, 2)
+        assert dt[0, 0, 0, 1] > 0        # outside class-1: positive
+        assert dt[0, 4, 4, 1] < 0        # inside: negative
+        logits = jnp.asarray(np.random.default_rng(0).normal(
+            size=(1, 8, 8, 2)).astype(np.float32))
+        v = float(seg.boundary_loss(logits, jnp.asarray(dt)))
+        assert np.isfinite(v)
+        v2 = float(seg.dc_and_bd_loss(logits, jnp.asarray(labels), jnp.asarray(dt)))
+        assert np.isfinite(v2)
+
+    def test_hausdorff_dt(self):
+        labels = np.zeros((1, 8, 8), np.int64)
+        labels[0, 2:6, 2:6] = 1
+        dtg = seg.one_hot_distance_transform(labels, 2, signed=False)[..., 1]
+        logits = jnp.asarray(np.random.default_rng(1).normal(
+            size=(1, 8, 8, 2)).astype(np.float32))
+        v = float(seg.hausdorff_dt_loss(logits, jnp.asarray(labels),
+                                        jnp.asarray(dtg), jnp.asarray(dtg)))
+        assert np.isfinite(v) and v >= 0
+
+
+class TestSSIMLosses:
+    def test_identical_images_zero_loss(self):
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 255, (2, 32, 32, 3)).astype(np.float32))
+        assert float(sl.ssim_loss(x, x)) == pytest.approx(0.0, abs=1e-5)
+
+    def test_noise_increases_loss(self):
+        rng = np.random.default_rng(1)
+        x = rng.uniform(0, 255, (1, 64, 64, 1)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 30, x.shape), 0, 255).astype(np.float32)
+        l_noisy = float(sl.ssim_loss(jnp.asarray(x), jnp.asarray(y)))
+        assert 0 < l_noisy < 1
+
+    def test_ms_ssim(self):
+        x = jnp.asarray(np.random.default_rng(2).uniform(
+            0, 255, (1, 192, 192, 1)).astype(np.float32))
+        v = sl.ms_ssim(x, x)
+        np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-4)
+        assert float(sl.ms_ssim_loss(x, x)) == pytest.approx(0.0, abs=1e-4)
+
+    def test_ssim_matches_reference_formula(self):
+        # vs the f64 host implementation on the same scale
+        from srbh_tpu.metrics.image import calculate_ssim
+
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0, 255, (24, 24, 1)).astype(np.float64)
+        b = np.clip(a + rng.normal(0, 10, a.shape), 0, 255)
+        want = calculate_ssim(a, b)
+        got = float(sl.ssim(jnp.asarray(a[None], jnp.float32),
+                            jnp.asarray(b[None], jnp.float32))[0])
+        assert abs(got - want) < 1e-3
