@@ -71,9 +71,11 @@ def crf_refine(prob: np.ndarray, image: np.ndarray, iters: int = 5,
     q = prob.copy()
     k = int(2 * round(2 * sxy) + 1)
     for _ in range(iters):
+        # neighbourhood consensus message (negative-Potts compatibility):
+        # each pixel's label distribution is pulled toward the Gaussian-
+        # weighted average of its neighbours'
         msg = np.stack([cv2.GaussianBlur(q[..., c], (k, k), sxy)
                         for c in range(q.shape[-1])], axis=-1)
-        msg = msg - q  # exclude self-message
         logits = np.log(np.clip(prob, 1e-8, 1.0)) + compat * msg
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         q = e / e.sum(axis=-1, keepdims=True)
