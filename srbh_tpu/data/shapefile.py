@@ -24,6 +24,7 @@ import numpy as np
 class ShapeRecord:
     bounds: Tuple[float, float, float, float]  # minx, miny, maxx, maxy
     attributes: Dict[str, object] = field(default_factory=dict)
+    rings: Optional[List[np.ndarray]] = None  # each (n, 2) xy vertex array
 
 
 def read_shapefile(path: str) -> List[ShapeRecord]:
@@ -43,7 +44,15 @@ def read_shapefile(path: str) -> List[ShapeRecord]:
         (rtype,) = struct.unpack("<i", rec[:4])
         if rtype in (3, 5, 13, 15):  # polyline/polygon (+Z): bbox in header
             minx, miny, maxx, maxy = struct.unpack("<4d", rec[4:36])
-            records.append(ShapeRecord((minx, miny, maxx, maxy)))
+            nparts, npoints = struct.unpack("<ii", rec[36:44])
+            parts = list(struct.unpack(f"<{nparts}i", rec[44: 44 + 4 * nparts]))
+            pts_off = 44 + 4 * nparts
+            pts = np.frombuffer(rec, "<f8", count=npoints * 2,
+                                offset=pts_off).reshape(npoints, 2)
+            starts = parts + [npoints]
+            rings = [pts[starts[i]: starts[i + 1]].copy()
+                     for i in range(nparts)]
+            records.append(ShapeRecord((minx, miny, maxx, maxy), rings=rings))
         elif rtype in (1, 11):  # point
             x, y = struct.unpack("<2d", rec[4:20])
             records.append(ShapeRecord((x, y, x, y)))

@@ -1,0 +1,180 @@
+"""Raw-data preprocessing toolbox.
+
+Capability twins of the reference's GDAL/OGR-driven preparation scripts
+(generate_WSF_mask_Globeheight_grid.py, demo_preprocess_height_v2.py),
+implemented over the framework's own raster/vector codecs:
+
+* :func:`shp2tif`            — rasterise polygon shapefiles onto a reference
+  raster's grid, burning a constant or a DBF attribute
+  (generate_WSF_mask_…py:33-66; demo_preprocess_…py building-footprint
+  rasterisation).
+* :func:`clip_tiff_by_tiff`  — clip one raster to another's extent
+  (generate_WSF_mask_…py:78-98, the WSF2019-to-city step).
+* :func:`main_gen_mask`      — per-city WSF mask generation driver
+  (:101-134): clip WSF to each ``*_s2.tif`` extent.
+* :func:`mosaic_rasters`     — nearest-grid mosaic of overlapping rasters
+  (the gdal BuildVRT + Translate merge path).
+* :func:`compare_rasters`    — IoU / RMSE / MAE between two height products
+  (demo_preprocess_…py raster-comparison functions).
+* :func:`floor_field_to_height` — vector floor-count -> metres field calc.
+* :func:`download_sentinel12`   — the GEE export driver exists in the
+  reference (demo_preprocess_…py:1210+) but requires Earth-Engine
+  credentials and network egress; here it validates inputs and raises with
+  the equivalent job description (documented stub).
+"""
+from __future__ import annotations
+
+import os
+from glob import glob
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from srbh_tpu.data.shapefile import read_shapefile
+from srbh_tpu.data.tiff import TiffReader, write_tiff
+
+
+def shp2tif(shp_path: str, ref_tif: str, out_tif: str,
+            burn_value: float = 1.0, attribute: Optional[str] = None,
+            dtype=np.uint8, all_touched: bool = False):
+    """Rasterise polygons onto the reference raster's grid."""
+    ref = TiffReader(ref_tif)
+    gt = ref.geotransform
+    h, w = ref.height, ref.width
+    canvas = np.zeros((h, w), np.float64)
+    inv_px, inv_py = 1.0 / gt[1], 1.0 / (-gt[5])
+    for rec in read_shapefile(shp_path):
+        value = (rec.attributes.get(attribute, 0)
+                 if attribute else burn_value) or 0
+        if not rec.rings:
+            continue
+        polys = []
+        for ring in rec.rings:
+            px = (ring[:, 0] - gt[0]) * inv_px
+            py = (gt[3] - ring[:, 1]) * inv_py
+            polys.append(np.stack([px, py], -1).round().astype(np.int32))
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, polys, 1)
+        if all_touched:
+            for poly in polys:
+                cv2.polylines(mask, [poly], True, 1)
+        canvas[mask > 0] = float(value)
+    out = canvas.astype(dtype)
+    write_tiff(out_tif, out, geotransform=gt, like=ref.info(),
+               compress="DEFLATE")
+    return out
+
+
+def clip_tiff_by_tiff(src_tif: str, extent_tif: str, out_tif: str,
+                      compress: Optional[str] = "DEFLATE"):
+    """Clip ``src_tif`` to ``extent_tif``'s bounds on the source grid."""
+    src = TiffReader(src_tif)
+    ext = TiffReader(extent_tif)
+    sgt, egt = src.geotransform, ext.geotransform
+    x0, y0 = egt[0], egt[3]
+    x1 = x0 + egt[1] * ext.width
+    y1 = y0 + egt[5] * ext.height
+    xoff = int(round((x0 - sgt[0]) / sgt[1]))
+    yoff = int(round((y0 - sgt[3]) / sgt[5]))
+    xcount = int(round((x1 - x0) / sgt[1]))
+    ycount = int(round((y1 - y0) / sgt[5]))
+    xoff, yoff = max(0, xoff), max(0, yoff)
+    xcount = min(xcount, src.width - xoff)
+    ycount = min(ycount, src.height - yoff)
+    data = src.read((xoff, yoff, xcount, ycount))
+    gt = (sgt[0] + xoff * sgt[1], sgt[1], 0.0,
+          sgt[3] + yoff * sgt[5], 0.0, sgt[5])
+    write_tiff(out_tif, data, geotransform=gt, like=src.info(),
+               compress=compress)
+    return data
+
+
+def main_gen_mask(citydir: str, wsf_tif: str, outdir: str,
+                  suffix: str = "_s2.tif") -> list:
+    """Per-city WSF mask clip driver (generate_WSF_mask_…py:101-134)."""
+    os.makedirs(outdir, exist_ok=True)
+    outputs = []
+    for tif in sorted(glob(os.path.join(citydir, "*" + suffix))):
+        city = Path(tif).name[: -len(suffix)]
+        out = os.path.join(outdir, f"{city}_wsf.tif")
+        if not os.path.exists(out):
+            clip_tiff_by_tiff(wsf_tif, tif, out)
+        outputs.append(out)
+    return outputs
+
+
+def mosaic_rasters(tif_paths: Sequence[str], out_tif: str,
+                   nodata: float = 0.0):
+    """Union-extent mosaic on the first raster's grid (VRT-merge twin);
+    later rasters win on overlap."""
+    readers = [TiffReader(p) for p in tif_paths]
+    gt0 = readers[0].geotransform
+    px, py = gt0[1], gt0[5]
+    xs, ys = [], []
+    for r in readers:
+        g = r.geotransform
+        xs += [g[0], g[0] + g[1] * r.width]
+        ys += [g[3], g[3] + g[5] * r.height]
+    x0, y0 = min(xs), max(ys)
+    w = int(round((max(xs) - x0) / px))
+    h = int(round((min(ys) - y0) / py))
+    canvas = np.full((h, w, readers[0].spp), nodata,
+                     readers[0].dtype.newbyteorder("="))
+    for r in readers:
+        g = r.geotransform
+        cx = int(round((g[0] - x0) / px))
+        cy = int(round((g[3] - y0) / py))
+        data = r.read()
+        canvas[cy: cy + r.height, cx: cx + r.width] = data
+    write_tiff(out_tif, canvas, geotransform=(x0, px, 0, y0, 0, py),
+               like=readers[0].info(), compress="DEFLATE")
+    return canvas
+
+
+def compare_rasters(a_tif: str, b_tif: str, threshold: float = 0.0) -> dict:
+    """IoU of the >threshold masks + RMSE/MAE/ME over their union
+    (demo_preprocess_…py height-product comparison)."""
+    a = TiffReader(a_tif).read()[..., 0].astype(np.float64)
+    b = TiffReader(b_tif).read()[..., 0].astype(np.float64)
+    if a.shape != b.shape:
+        b = cv2.resize(b, (a.shape[1], a.shape[0]),
+                       interpolation=cv2.INTER_NEAREST)
+    ma, mb = a > threshold, b > threshold
+    inter, union = (ma & mb).sum(), (ma | mb).sum()
+    both = ma | mb
+    diff = (a - b)[both]
+    return {
+        "iou": float(inter / union) if union else 0.0,
+        "rmse": float(np.sqrt((diff**2).mean())) if diff.size else 0.0,
+        "mae": float(np.abs(diff).mean()) if diff.size else 0.0,
+        "me": float(diff.mean()) if diff.size else 0.0,
+        "count": int(both.sum()),
+    }
+
+
+def floor_field_to_height(values: np.ndarray, m_per_floor: float = 3.0,
+                          min_floors: int = 2) -> np.ndarray:
+    """Floor counts -> metres with a minimum-floor clamp
+    (stats_dataset_globe.py:211-226 field math)."""
+    v = np.asarray(values).copy()
+    v[(v > 0) & (v < min_floors + 1)] = min_floors
+    return v * m_per_floor
+
+
+def download_sentinel12(query_shp: str, resroot: str,
+                        typelist=("s1_vvvhratio", "s2_rgbnir"),
+                        year: str = "2020"):
+    """GEE Sentinel-1/2 export driver (demo_preprocess_…py:1210+).
+
+    Requires Google Earth Engine credentials and network egress, neither of
+    which exists in this environment. Validates the request and raises with
+    the job description so callers fail loudly instead of silently skipping.
+    """
+    cells = read_shapefile(query_shp)
+    raise RuntimeError(
+        f"Earth-Engine export of {typelist} for {len(cells)} grid cells "
+        f"(year {year}) to {resroot} requires GEE credentials + network "
+        "egress; run the reference's GEE driver off-device and point the "
+        "data pipeline at the exported tiles.")
