@@ -35,11 +35,14 @@ class UNetDiscriminatorSN(nn.Module):
         nf = self.num_feat
 
         def sn_conv(feats, k, s, name):
-            # torch padding=1 for both the 4x4/s2 and 3x3/s1 convs (:262-271)
+            # torch padding=1 for both the 4x4/s2 and 3x3/s1 convs (:262-271).
+            # Naming the inner Conv puts its kernel at params[name]/kernel
+            # (stable for checkpoint conversion); the SN power-iteration
+            # state lives at batch_stats[name_sn].
             conv = nn.Conv(feats, (k, k), strides=(s, s),
                            padding=((1, 1), (1, 1)),
-                           use_bias=False, dtype=self.dtype)
-            return nn.SpectralNorm(conv, name=name)
+                           use_bias=False, dtype=self.dtype, name=name)
+            return nn.SpectralNorm(conv, name=f"{name}_sn")
 
         x0 = lrelu(tconv(nf, 3, 1, dtype=self.dtype, name="conv0")(x))
         x1 = lrelu(sn_conv(nf * 2, 4, 2, "conv1")(x0, update_stats=train))

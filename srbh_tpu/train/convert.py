@@ -1,0 +1,276 @@
+"""PyTorch state_dict -> Flax param-tree converters.
+
+The reference ships/consumes torch ``.tar`` checkpoints (train.py:199-212,
+SR/rrdbnet_arch.py:511-522). These converters map their key layouts onto
+this framework's module trees so trained reference weights can be evaluated
+for output-fidelity parity (SURVEY.md §5.4). Layout rules:
+
+* Conv2d ``weight`` OIHW -> HWIO; Linear ``weight`` (out, in) -> (in, out).
+* BatchNorm: weight/bias -> scale/bias params; running_mean/var ->
+  ``batch_stats`` mean/var.
+* Spectral-norm convs store ``weight_orig`` (+ ``weight_u``); the original
+  kernel maps to the wrapped conv's param and u seeds the power iteration.
+* EDSR checkpoints may omit the scale-specific ``tail`` — mirrored by
+  ``strict=False`` skipping missing keys (SR/edsr.py:157-174).
+
+State dicts are accepted as any mapping of name -> array-like (a torch
+``state_dict`` loaded with ``torch.load(..., map_location='cpu')`` works;
+values are converted with ``np.asarray``).
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Tuple
+
+import numpy as np
+
+
+def _conv(sd, name) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.asarray(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _dense(sd, name) -> Dict[str, np.ndarray]:
+    out = {"kernel": np.asarray(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{name}.bias"])
+    return out
+
+
+def _bn(sd, name) -> Tuple[dict, dict]:
+    params = {"scale": np.asarray(sd[f"{name}.weight"]),
+              "bias": np.asarray(sd[f"{name}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{name}.running_mean"]),
+             "var": np.asarray(sd[f"{name}.running_var"])}
+    return params, stats
+
+
+def convert_espcn(sd: Mapping) -> dict:
+    """ESPC (SR/espcn.py:9-23): conv1/conv2/conv3."""
+    return {"params": {f"conv{i}": _conv(sd, f"conv{i}") for i in (1, 2, 3)}}
+
+
+def convert_edsr(sd: Mapping, n_resblocks: int = 16, strict: bool = True) -> dict:
+    """EDSR (SR/edsr.py:105-174): head.0 / body.N.body.{0,2} / body.N_last /
+    tail.0.N (upsampler convs) / tail.1. ``strict=False`` skips a missing
+    tail (partial load, SR/edsr.py:157-174)."""
+    p: dict = {"head": _conv(sd, "head.0")}
+    for i in range(n_resblocks):
+        p[f"body_{i}"] = {"conv1": _conv(sd, f"body.{i}.body.0"),
+                          "conv2": _conv(sd, f"body.{i}.body.2")}
+    p["body_conv"] = _conv(sd, f"body.{n_resblocks}")
+    ups = {}
+    # tail.0 is the Upsampler Sequential: conv at even indices (0, 2, ...)
+    idx = 0
+    while f"tail.0.{idx * 2}.weight" in sd:
+        ups[f"conv_{idx}"] = _conv(sd, f"tail.0.{idx * 2}")
+        idx += 1
+    if ups:
+        p["upsampler"] = ups
+    if "tail.1.weight" in sd:
+        p["tail"] = _conv(sd, "tail.1")
+    elif strict:
+        raise KeyError("tail.1 missing from EDSR state_dict (use strict=False)")
+    return {"params": p}
+
+
+def convert_rrdbnet(sd: Mapping, num_block: int = 23) -> dict:
+    """RRDBNet (SR/rrdbnet_arch.py:170-240): conv_first / body.N.rdbM.convK /
+    conv_body / conv_up1 / conv_up2 / conv_hr / conv_last. Accepts the
+    ``net_g_ema`` / ``params_ema`` flat dicts directly."""
+    p: dict = {"conv_first": _conv(sd, "conv_first")}
+    for i in range(num_block):
+        blk = {}
+        for r in (1, 2, 3):
+            blk[f"rdb{r}"] = {f"conv{c}": _conv(sd, f"body.{i}.rdb{r}.conv{c}")
+                              for c in (1, 2, 3, 4, 5)}
+        p[f"body_{i}"] = blk
+    for name in ("conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
+        if f"{name}.weight" in sd:
+            p[name] = _conv(sd, name)
+    return {"params": p}
+
+
+def convert_unet_discriminator_sn(sd: Mapping) -> dict:
+    """UNetDiscriminatorSN (SR/rrdbnet_arch.py:244-303): conv0/conv9 plain,
+    conv1..conv8 spectral-normalised (weight_orig)."""
+    params: dict = {"conv0": _conv(sd, "conv0"), "conv9": _conv(sd, "conv9")}
+    for i in range(1, 9):
+        w = np.asarray(sd[f"conv{i}.weight_orig"]).transpose(2, 3, 1, 0)
+        params[f"conv{i}"] = {"kernel": w}
+    return {"params": params}
+
+
+def convert_swinir(sd: Mapping, depths=(6, 6, 6, 6)) -> dict:
+    """SwinIR (SR/network_swinir.py): layers.N.residual_group.blocks.M.* ->
+    layerN.blockM.*; linear weights transposed; biases/tables copied."""
+    p: dict = {}
+    if "conv_first.weight" in sd:
+        p["conv_first"] = _conv(sd, "conv_first")
+    for li, depth in enumerate(depths):
+        layer: dict = {}
+        for bi in range(depth):
+            base = f"layers.{li}.residual_group.blocks.{bi}"
+            blk = {
+                "norm1": {"scale": np.asarray(sd[f"{base}.norm1.weight"]),
+                          "bias": np.asarray(sd[f"{base}.norm1.bias"])},
+                "norm2": {"scale": np.asarray(sd[f"{base}.norm2.weight"]),
+                          "bias": np.asarray(sd[f"{base}.norm2.bias"])},
+                "attn": {
+                    "qkv": _dense(sd, f"{base}.attn.qkv"),
+                    "proj": _dense(sd, f"{base}.attn.proj"),
+                    "relative_position_bias_table": np.asarray(
+                        sd[f"{base}.attn.relative_position_bias_table"]),
+                },
+                "mlp": {"fc1": _dense(sd, f"{base}.mlp.fc1"),
+                        "fc2": _dense(sd, f"{base}.mlp.fc2")},
+            }
+            layer[f"block{bi}"] = blk
+        if f"layers.{li}.conv.weight" in sd:
+            layer["conv"] = _conv(sd, f"layers.{li}.conv")
+        p[f"layer{li}"] = layer
+    for tname, fname in (("norm", "norm"), ("patch_embed.norm", "patch_norm")):
+        if f"{tname}.weight" in sd:
+            p[fname] = {"scale": np.asarray(sd[f"{tname}.weight"]),
+                        "bias": np.asarray(sd[f"{tname}.bias"])}
+    for name in ("conv_after_body", "conv_last", "conv_up1", "conv_up2",
+                 "conv_hr"):
+        if f"{name}.weight" in sd:
+            p[name] = _conv(sd, name)
+    if "conv_before_upsample.0.weight" in sd:
+        p["conv_before_upsample"] = _conv(sd, "conv_before_upsample.0")
+    # classical-SR Upsample Sequential / lightweight UpsampleOneStep
+    idx = 0
+    ups = {}
+    while f"upsample.{idx * 2}.weight" in sd:
+        ups[f"conv_{idx}"] = _conv(sd, f"upsample.{idx * 2}")
+        idx += 1
+    if ups:
+        p["upsample"] = ups
+    if "upsample.0.weight" in sd and not ups:
+        p["upsample_conv"] = _conv(sd, "upsample.0")
+    return {"params": p}
+
+
+def convert_basic_block(sd: Mapping, prefix: str) -> Tuple[dict, dict]:
+    """torchvision-style BasicBlock (SR/HRfuse.py:115-159) -> params+stats."""
+    params: dict = {}
+    stats: dict = {}
+    for cname in ("conv1", "conv2"):
+        params[cname] = _conv(sd, f"{prefix}.{cname}")
+    for bname in ("bn1", "bn2"):
+        bp, bs = _bn(sd, f"{prefix}.{bname}")
+        params[bname], stats[bname] = bp, bs
+    if f"{prefix}.downsample.0.weight" in sd:
+        params["down_conv"] = _conv(sd, f"{prefix}.downsample.0")
+        bp, bs = _bn(sd, f"{prefix}.downsample.1")
+        params["down_bn"], stats["down_bn"] = bp, bs
+    return params, stats
+
+
+def convert_hrfuse_residual(sd: Mapping, prefix: str) -> Tuple[dict, dict]:
+    """HRfuse_residual (SR/HRfuse.py:173-190): upsampler.N convs + 3 fuse
+    BasicBlocks + conv_last."""
+    params: dict = {}
+    stats: dict = {}
+    ups = {}
+    idx = 0
+    while f"{prefix}.upsampler.{idx * 2}.weight" in sd:
+        ups[f"conv_{idx}"] = _conv(sd, f"{prefix}.upsampler.{idx * 2}")
+        idx += 1
+    params["upsampler"] = ups
+    for i in range(3):
+        bp, bs = convert_basic_block(sd, f"{prefix}.fuse.{i}")
+        params[f"fuse{i}"], stats[f"fuse{i}"] = bp, bs
+    params["conv_last"] = _conv(sd, f"{prefix}.conv_last")
+    return params, stats
+
+
+def convert_height_model(sd: Mapping, isaggre: bool = True) -> dict:
+    """SRRegressClsFeature (mymodels.py:233-337): smp EfficientNet encoder +
+    two UnetDecoders + hrfeat/reg/seg heads (+ aggre conv).
+
+    Encoder mapping (efficientnet-pytorch naming): ``encoder._conv_stem``,
+    ``encoder._bn0``, ``encoder._blocks.N.{_expand_conv,_depthwise_conv,
+    _se_reduce,_se_expand,_project_conv,_bn0,_bn1,_bn2}``; smp's unused
+    ``_conv_head``/``_bn1`` head weights are dropped.
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    # ---- encoder
+    enc_p: dict = {"stem_conv": _conv(sd, "encoder._conv_stem")}
+    enc_s: dict = {}
+    bp, bs = _bn(sd, "encoder._bn0")
+    enc_p["stem_bn"], enc_s["stem_bn"] = bp, bs
+    # stage/block layout for b4 (efficientnet.py): repeats per stage
+    from srbh_tpu.models.efficientnet import _B0_STAGES, SCALING, round_repeats
+
+    width, depth, _ = SCALING["efficientnet-b4"]
+    tn = 0
+    for si, (expand, _k, _s, _c, base_r) in enumerate(_B0_STAGES, 1):
+        for bi in range(round_repeats(base_r, depth)):
+            t = f"encoder._blocks.{tn}"
+            blk_p: dict = {}
+            blk_s: dict = {}
+            if expand != 1:
+                blk_p["expand_conv"] = _conv(sd, f"{t}._expand_conv")
+                bp, bs = _bn(sd, f"{t}._bn0")
+                blk_p["expand_bn"], blk_s["expand_bn"] = bp, bs
+            blk_p["dw_conv"] = _conv(sd, f"{t}._depthwise_conv")
+            bp, bs = _bn(sd, f"{t}._bn1")
+            blk_p["dw_bn"], blk_s["dw_bn"] = bp, bs
+            blk_p["se_reduce"] = _conv(sd, f"{t}._se_reduce")
+            blk_p["se_expand"] = _conv(sd, f"{t}._se_expand")
+            blk_p["project_conv"] = _conv(sd, f"{t}._project_conv")
+            bp, bs = _bn(sd, f"{t}._bn2")
+            blk_p["project_bn"], blk_s["project_bn"] = bp, bs
+            enc_p[f"blocks_{si}_{bi}"] = blk_p
+            enc_s[f"blocks_{si}_{bi}"] = blk_s
+            tn += 1
+    params["encoder"], stats["encoder"] = enc_p, enc_s
+
+    # ---- decoders (smp UnetDecoder: blocks.N.conv1/conv2, each .0 conv .1 bn)
+    for dname in ("decoder1", "decoder2"):
+        dp: dict = {}
+        ds: dict = {}
+        for bi in range(5):
+            blk_p: dict = {}
+            blk_s: dict = {}
+            for ci in (1, 2):
+                cname = f"conv{ci}"
+                blk_p[cname] = {"conv": _conv(sd, f"{dname}.blocks.{bi}.{cname}.0")}
+                bp, bs = _bn(sd, f"{dname}.blocks.{bi}.{cname}.1")
+                blk_p[cname]["bn"] = bp
+                blk_s[cname] = {"bn": bs}
+            dp[f"block{bi}"] = blk_p
+            ds[f"block{bi}"] = blk_s
+        params[dname], stats[dname] = dp, ds
+
+    # ---- hrfeat (3 BasicBlocks named 0/1/2 in the torch Sequential)
+    hp: dict = {}
+    hs: dict = {}
+    for i in range(3):
+        bp, bs = convert_basic_block(sd, f"hrfeat.{i}")
+        hp[f"block{i}"], hs[f"block{i}"] = bp, bs
+    params["hrfeat"], stats["hrfeat"] = hp, hs
+
+    # ---- fusion heads
+    for head in ("reg", "seg"):
+        hp2, hs2 = convert_hrfuse_residual(sd, head)
+        params[head], stats[head] = hp2, hs2
+    if isaggre and "aggre_height.weight" in sd:
+        params["aggre_height"] = _conv(sd, "aggre_height")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_tar(path: str, key: Optional[str] = None) -> Mapping:
+    """Load a torch .tar checkpoint on CPU and return (a sub-dict of) it."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu")
+    if key is not None:
+        payload = payload[key]
+    return {k: v.numpy() if hasattr(v, "numpy") else v
+            for k, v in payload.items()}

@@ -1,0 +1,262 @@
+"""torch->flax checkpoint conversion: numeric equivalence on generic torch
+conv stacks + structural roundtrips for the larger models."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srbh_tpu.train import convert
+
+torch = pytest.importorskip("torch")
+
+
+class TestESPCNNumeric:
+    def test_forward_equivalence(self):
+        """A generic torch conv/tanh/pixel-shuffle stack (the ESPCN topology)
+        must produce identical outputs through the converted flax model."""
+        tm = torch.nn.ModuleDict({
+            "conv1": torch.nn.Conv2d(4, 64, 5, 1, 2),
+            "conv2": torch.nn.Conv2d(64, 32, 3, 1, 1),
+            "conv3": torch.nn.Conv2d(32, 48, 3, 1, 1),
+        })
+        x = torch.randn(1, 4, 16, 16)
+        with torch.no_grad():
+            h = torch.tanh(tm["conv1"](x))
+            h = torch.tanh(tm["conv2"](h))
+            want = torch.nn.functional.pixel_shuffle(tm["conv3"](h), 4).numpy()
+
+        sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+        variables = convert.convert_espcn(sd)
+        from srbh_tpu.models import ESPCN
+
+        m = ESPCN(upscale_factor=4)
+        got = m.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2),
+                                   want, atol=2e-5)
+
+
+class TestStructuralRoundtrips:
+    def _fake_sd_from_flax(self, params, prefix="", sd=None):
+        """Inverse mapping: flax tree -> torch-style flat dict (HWIO->OIHW)."""
+        sd = {} if sd is None else sd
+        for k, v in params.items():
+            name = f"{prefix}{k}" if not prefix else f"{prefix}.{k}"
+            if isinstance(v, dict):
+                self._fake_sd_from_flax(v, name, sd)
+            elif k == "kernel":
+                sd[prefix + ".weight" if False else f"{prefix}.weight"] = (
+                    np.asarray(v).transpose(3, 2, 0, 1))
+            elif k == "bias":
+                sd[f"{prefix}.bias"] = np.asarray(v)
+        return sd
+
+    def test_rrdbnet_roundtrip(self):
+        from srbh_tpu.models import RRDBNet
+
+        m = RRDBNet(num_block=2, num_feat=8, num_grow_ch=8)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+        # build a torch-style state dict with the reference's key names
+        sd = {}
+        p = v["params"]
+        def put(tname, tree):
+            sd[f"{tname}.weight"] = np.asarray(tree["kernel"]).transpose(3, 2, 0, 1)
+            sd[f"{tname}.bias"] = np.asarray(tree["bias"])
+        put("conv_first", p["conv_first"])
+        for i in range(2):
+            for r in (1, 2, 3):
+                for c in (1, 2, 3, 4, 5):
+                    put(f"body.{i}.rdb{r}.conv{c}", p[f"body_{i}"][f"rdb{r}"][f"conv{c}"])
+        for n in ("conv_body", "conv_up1", "conv_up2", "conv_hr", "conv_last"):
+            put(n, p[n])
+        back = convert.convert_rrdbnet(sd, num_block=2)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (1, 8, 8, 3)).astype(np.float32))
+        a = m.apply(v, x)
+        b = m.apply(back, x)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_edsr_partial_load_skips_tail(self):
+        sd = {}
+        rng = np.random.default_rng(0)
+        def fake_conv(name, cin, cout, k=3):
+            sd[f"{name}.weight"] = rng.normal(size=(cout, cin, k, k)).astype(np.float32)
+            sd[f"{name}.bias"] = rng.normal(size=(cout,)).astype(np.float32)
+        fake_conv("head.0", 4, 8)
+        for i in range(2):
+            fake_conv(f"body.{i}.body.0", 8, 8)
+            fake_conv(f"body.{i}.body.2", 8, 8)
+        fake_conv("body.2", 8, 8)
+        # NO tail in the checkpoint
+        with pytest.raises(KeyError):
+            convert.convert_edsr(sd, n_resblocks=2, strict=True)
+        tree = convert.convert_edsr(sd, n_resblocks=2, strict=False)
+        assert "tail" not in tree["params"]
+        assert "head" in tree["params"]
+
+    def test_unet_discriminator_conversion_applies(self):
+        from srbh_tpu.models.discriminators import UNetDiscriminatorSN
+
+        m = UNetDiscriminatorSN(num_feat=8)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        rng = np.random.default_rng(1)
+        sd = {}
+        p = v["params"]
+        sd["conv0.weight"] = np.asarray(p["conv0"]["kernel"]).transpose(3, 2, 0, 1)
+        sd["conv0.bias"] = np.asarray(p["conv0"]["bias"])
+        sd["conv9.weight"] = np.asarray(p["conv9"]["kernel"]).transpose(3, 2, 0, 1)
+        sd["conv9.bias"] = np.asarray(p["conv9"]["bias"])
+        for i in range(1, 9):
+            sd[f"conv{i}.weight_orig"] = np.asarray(
+                p[f"conv{i}"]["kernel"]).transpose(3, 2, 0, 1)
+        back = convert.convert_unet_discriminator_sn(sd)
+        # converted params + fresh SN stats run
+        merged = {"params": back["params"], "batch_stats": v["batch_stats"]}
+        out = m.apply(merged, jnp.zeros((1, 32, 32, 3)))
+        assert out.shape == (1, 32, 32, 1)
+
+    def test_height_model_conversion_structure(self):
+        """Build a fake smp-style state dict by inverse-mapping our own init,
+        convert it back, and check the trees match exactly."""
+        from srbh_tpu.models import SRRegressClsFeature
+
+        m = SRRegressClsFeature(encoder_name="efficientnet-b4", super_mid=16,
+                                isaggre=True, chans_build=7)
+        shapes = jax.eval_shape(
+            lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 8)),
+                           jnp.zeros((1, 256, 256, 64))))
+
+        # inverse-map the expected flax tree into smp/torch names
+        sd = {}
+        rng = np.random.default_rng(0)
+
+        def fill(tree, name_fn, path=()):
+            for k, v in tree.items():
+                if hasattr(v, "shape") :
+                    tname, role = name_fn(path + (k,))
+                    if tname is None:
+                        continue
+                    shape = tuple(v.shape)
+                    if role == "conv":
+                        arr = rng.normal(size=(shape[3], shape[2], shape[0],
+                                               shape[1])).astype(np.float32)
+                        sd[f"{tname}.weight"] = arr
+                    elif role == "bias":
+                        sd[f"{tname}.bias"] = rng.normal(size=shape).astype(np.float32)
+                    elif role == "bn":
+                        sd[f"{tname}.weight"] = rng.normal(size=shape).astype(np.float32)
+                        sd[f"{tname}.bias"] = rng.normal(size=shape).astype(np.float32)
+                        sd[f"{tname}.running_mean"] = rng.normal(size=shape).astype(np.float32)
+                        sd[f"{tname}.running_var"] = np.abs(rng.normal(size=shape)).astype(np.float32) + 1
+                else:
+                    fill(v, name_fn, path + (k,))
+
+        # use the converter's own inverse documented mapping to build names
+        mapping = _smp_name_map()
+
+        def name_fn(path):
+            return mapping(path)
+
+        fill(shapes["params"], name_fn)
+        tree = convert.convert_height_model(sd, isaggre=True)
+
+        want_paths = {jax.tree_util.keystr(p) for p, _ in
+                      jax.tree_util.tree_flatten_with_path(shapes["params"])[0]}
+        got_paths = {jax.tree_util.keystr(p) for p, _ in
+                     jax.tree_util.tree_flatten_with_path(tree["params"])[0]}
+        missing = want_paths - got_paths
+        assert not missing, sorted(missing)[:10]
+        # shapes agree leaf-by-leaf
+        flat_want = dict(jax.tree_util.tree_flatten_with_path(shapes["params"])[0])
+        flat_got = dict(jax.tree_util.tree_flatten_with_path(tree["params"])[0])
+        for k, v in flat_want.items():
+            assert tuple(flat_got[k].shape) == tuple(v.shape), k
+
+
+def _smp_name_map():
+    """flax param path -> (torch name, role) for the height model."""
+    def mapping(path):
+        keys = [str(k) for k in path]
+        leaf = keys[-1]
+        role = {"kernel": "conv", "bias": "bias", "scale": "bn"}.get(leaf)
+        if role is None:
+            return None, None
+        if leaf == "scale":
+            tname_role = "bn"
+        # encoder
+        if keys[0] == "encoder":
+            if keys[1] == "stem_conv":
+                return "encoder._conv_stem", "conv"
+            if keys[1] == "stem_bn":
+                return ("encoder._bn0", "bn") if leaf == "scale" else (None, None)
+            if keys[1].startswith("blocks_"):
+                si, bi = map(int, keys[1].split("_")[1:])
+                from srbh_tpu.models.efficientnet import _B0_STAGES, SCALING, round_repeats
+
+                _w, depth, _ = SCALING["efficientnet-b4"]
+                tn = sum(round_repeats(s[4], depth) for s in _B0_STAGES[: si - 1]) + bi
+                t = f"encoder._blocks.{tn}"
+                part = keys[2]
+                torch_names = {
+                    "expand_conv": (f"{t}._expand_conv", "conv"),
+                    "expand_bn": (f"{t}._bn0", "bn"),
+                    "dw_conv": (f"{t}._depthwise_conv", "conv"),
+                    "dw_bn": (f"{t}._bn1", "bn"),
+                    "se_reduce": (f"{t}._se_reduce", "conv" if leaf == "kernel" else "bias"),
+                    "se_expand": (f"{t}._se_expand", "conv" if leaf == "kernel" else "bias"),
+                    "project_conv": (f"{t}._project_conv", "conv"),
+                    "project_bn": (f"{t}._bn2", "bn"),
+                }
+                tname, trole = torch_names[part]
+                if trole == "bn" and leaf != "scale":
+                    return None, None
+                if trole == "bn":
+                    return tname, "bn"
+                if leaf == "bias":
+                    return tname, "bias"
+                return tname, "conv"
+        # decoders
+        if keys[0] in ("decoder1", "decoder2"):
+            bi = int(keys[1][5:])
+            ci = keys[2]
+            t = f"{keys[0]}.blocks.{bi}.{ci}"
+            if keys[3] == "conv":
+                return (f"{t}.0", "conv" if leaf == "kernel" else "bias")
+            if leaf == "scale":
+                return f"{t}.1", "bn"
+            return None, None
+        # hrfeat / heads
+        def basic_block(prefix, part):
+            name = {"conv1": "conv1", "conv2": "conv2", "bn1": "bn1",
+                    "bn2": "bn2", "down_conv": "downsample.0",
+                    "down_bn": "downsample.1"}[part]
+            return f"{prefix}.{name}"
+
+        if keys[0] == "hrfeat":
+            i = int(keys[1][5:])
+            t = basic_block(f"hrfeat.{i}", keys[2])
+            if leaf == "scale":
+                return t, "bn"
+            if keys[2].endswith("bn") or "bn" in keys[2]:
+                return None, None
+            return (t, "conv" if leaf == "kernel" else "bias")
+        if keys[0] in ("reg", "seg"):
+            if keys[1] == "upsampler":
+                idx = int(keys[2].split("_")[1])
+                return (f"{keys[0]}.upsampler.{idx * 2}",
+                        "conv" if leaf == "kernel" else "bias")
+            if keys[1] == "conv_last":
+                return (f"{keys[0]}.conv_last",
+                        "conv" if leaf == "kernel" else "bias")
+            i = int(keys[1][4:])
+            t = basic_block(f"{keys[0]}.fuse.{i}", keys[2])
+            if leaf == "scale":
+                return t, "bn"
+            if "bn" in keys[2]:
+                return None, None
+            return (t, "conv" if leaf == "kernel" else "bias")
+        if keys[0] == "aggre_height":
+            return ("aggre_height", "conv" if leaf == "kernel" else "bias")
+        return None, None
+
+    return mapping
