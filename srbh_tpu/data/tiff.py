@@ -137,7 +137,10 @@ def _decompress(data: bytes, method: int, expected: int) -> bytes:
     if method in (8, 32946):
         return zlib.decompress(data)[:expected]
     if method == 32773:
-        return _packbits_decode(data, expected)
+        from srbh_tpu import native
+
+        out = native.packbits_decode(data, expected)
+        return out if out is not None else _packbits_decode(data, expected)
     if method == 5:
         return _lzw_decode(data, expected)
     raise ValueError(f"unsupported TIFF compression {method}")
@@ -345,7 +348,10 @@ def _compress(data: bytes, method: str) -> Tuple[bytes, int]:
     if method.upper() == "DEFLATE":
         return zlib.compress(data, 6), 8
     if method.upper() == "PACKBITS":
-        return _packbits_encode(data), 32773
+        from srbh_tpu import native
+
+        out = native.packbits_encode(data)
+        return (out if out is not None else _packbits_encode(data)), 32773
     raise ValueError(f"unsupported write compression {method!r}")
 
 

@@ -32,6 +32,15 @@ class MosaicAccumulator:
                   pos: np.ndarray):
         """height (N, T, T) uint16; build (N, T, T, C) uint16;
         pos (N, 4) [xoff, yoff, xcount, ycount] in source pixels."""
+        from srbh_tpu import native
+
+        if (height_u16.dtype == np.uint16 and build_u16.dtype == np.uint16
+                and native.blend_tiles(
+                    self.height_sum, self.build_sum, self.weight,
+                    np.ascontiguousarray(height_u16),
+                    np.ascontiguousarray(build_u16),
+                    np.ascontiguousarray(pos, np.int32), self.upscale)):
+            return
         s = self.upscale
         for i in range(height_u16.shape[0]):
             xoff, yoff, xc, yc = (int(v) * s for v in pos[i])
