@@ -86,21 +86,26 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    use_pallas: bool = False  # fused VMEM kernel (ops/pallas/window_attention)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None):
         """x: (B_, N, C) windows; mask: (nW, N, N) or None."""
+        from srbh_tpu.ops.pallas.window_attention import (
+            window_attention_auto,
+            window_attention_xla,
+        )
+
         b_, n, c = x.shape
         heads = self.num_heads
         head_dim = c // heads
-        scale = self.qk_scale or head_dim ** -0.5
         qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
                        name="qkv")(x)
-        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
+        qkv = qkv.reshape(b_, n, 3, heads, head_dim).transpose(2, 3, 0, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]  # (heads, B_, N, d)
+        if self.qk_scale is not None:
+            q = q * (self.qk_scale * head_dim**0.5)  # fold custom scale in
 
         table = self.param(
             "relative_position_bias_table",
@@ -108,17 +113,10 @@ class WindowAttention(nn.Module):
             ((2 * self.window_size - 1) ** 2, heads))
         idx = relative_position_index(self.window_size).reshape(-1)
         bias = table[idx].reshape(n, n, heads).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, heads, n, n)
-            attn = attn + mask[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(b_, heads, n, n)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        fn = window_attention_auto if self.use_pallas else window_attention_xla
+        out = fn(q, k, v, bias, mask)  # (heads, B_, N, d)
+        out = out.transpose(1, 2, 0, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
@@ -141,6 +139,7 @@ class SwinTransformerBlock(nn.Module):
     shift_size: int = 0
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -158,7 +157,8 @@ class SwinTransformerBlock(nn.Module):
         else:
             mask = None
         windows = window_partition(x, ws)
-        attn = WindowAttention(c, ws, self.num_heads, dtype=self.dtype,
+        attn = WindowAttention(c, ws, self.num_heads,
+                               use_pallas=self.use_pallas, dtype=self.dtype,
                                name="attn")(windows, mask)
         x = window_reverse(attn, ws, h, w)
         if shift > 0:
@@ -188,6 +188,7 @@ class RSTB(nn.Module):
     mlp_ratio: float = 4.0
     drop_paths: Sequence[float] = ()
     resi_connection: str = "1conv"
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -198,7 +199,8 @@ class RSTB(nn.Module):
             x = SwinTransformerBlock(
                 self.dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
-                mlp_ratio=self.mlp_ratio, drop_path=dp, dtype=self.dtype,
+                mlp_ratio=self.mlp_ratio, drop_path=dp,
+                use_pallas=self.use_pallas, dtype=self.dtype,
                 name=f"block{i}")(x, train)
         if self.resi_connection == "1conv":
             x = tconv(self.dim, 3, dtype=self.dtype, name="conv")(x)
@@ -225,6 +227,7 @@ class SwinIR(nn.Module):
     resi_connection: str = "1conv"
     patch_norm: bool = True
     num_feat: int = 64
+    use_pallas: bool = False  # fused Pallas window attention on TPU
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -257,6 +260,7 @@ class SwinIR(nn.Module):
                          mlp_ratio=self.mlp_ratio,
                          drop_paths=tuple(dpr[start: start + depth]),
                          resi_connection=self.resi_connection,
+                         use_pallas=self.use_pallas,
                          dtype=self.dtype, name=f"layer{li}")(f, train)
                 start += depth
             f = nn.LayerNorm(dtype=self.dtype, name="norm")(f)
