@@ -104,9 +104,20 @@ def _to_device_batch(batch, isaggre=True):
     return {k: jnp.asarray(batch[k]) for k in keys}
 
 
-def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = None):
-    """The training driver; returns the final TrainState."""
+def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = None,
+         data_parallel: Optional[bool] = None):
+    """The training driver; returns the final TrainState.
+
+    ``data_parallel`` (default: auto when >1 device) shards batches over the
+    mesh's ``data`` axis with replicated state — XLA inserts the gradient
+    psum (SURVEY.md §2.5 TPU-native equivalent of the reference's absent DP).
+    """
     np.random.seed(cfg.seed)
+    if data_parallel is None:
+        # auto-DP only when every batch can shard evenly over the devices
+        data_parallel = (jax.device_count() > 1
+                         and cfg.batch_size % jax.device_count() == 0)
+    mesh = pmesh.make_mesh() if data_parallel else None
 
     trainloader = _make_loader(cfg, cfg.trainlist, aug=True,
                                isaggre=cfg.isaggre, ishir=cfg.ishir,
@@ -115,6 +126,10 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
     valloader = _make_loader(cfg, cfg.vallist, aug=False, isaggre=False,
                              ishir=False, num_sample=cfg.num_sample // 2,
                              shuffle=False)
+    if mesh is not None:
+        # fixed-shape sharded batches: drop ragged tails
+        trainloader.drop_last = True
+        valloader.drop_last = True
 
     model, sr = build_models(cfg)
     variables, sr_params = init_models(cfg, model, sr)
@@ -135,6 +150,13 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
 
     train_step = make_train_step(model, sr, cfg.rgbseq, cfg.isaggre)
     eval_step = make_eval_step(model, sr, cfg.rgbseq)
+    if mesh is not None:
+        state = pmesh.replicate(state, mesh)
+        sr_params = pmesh.replicate(sr_params, mesh)
+
+    def to_device(batch, isaggre):
+        b = _to_device_batch(batch, isaggre)
+        return pmesh.shard_batch(b, mesh) if mesh is not None else b
 
     os.makedirs(cfg.logdir, exist_ok=True)
     if writer is None:
@@ -151,7 +173,7 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         for i, batch in enumerate(trainloader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            b = _to_device_batch(batch, cfg.isaggre)
+            b = to_device(batch, cfg.isaggre)
             state, m = train_step(state, sr_params, b, jnp.asarray(lr))
             n = b["image"].shape[0]
             losses.update(float(m["loss"]), n)
@@ -162,7 +184,7 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         for i, batch in enumerate(valloader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            b = _to_device_batch(batch, isaggre=False)
+            b = to_device(batch, isaggre=False)
             m = eval_step(state, sr_params, b)
             n = b["image"].shape[0]
             val_losses.update(float(m["loss"]), n)

@@ -72,6 +72,15 @@ class TestTrainDriver:
         state = trainer.main(cfg, writer=None)
         assert int(state.step) == 3 * 2  # 2 old + 1 new epoch
 
+    def test_data_parallel_epoch(self, workdir, tmp_path):
+        """One DP epoch over the 8-device mesh through the full driver."""
+        cfg = make_cfg(workdir)
+        cfg.logdir = str(tmp_path / "dp_logs")
+        cfg.maxepoch = 1
+        cfg.batch_size = 8
+        state = trainer.main(cfg, writer=None, data_parallel=True)
+        assert int(state.step) == 1  # 8 tiles / batch 8
+
     def test_main_test_artifacts(self, workdir):
         cfg = make_cfg(workdir)
         res = trainer.main_test(cfg, num_sample=0, suffix="syn")
