@@ -1,0 +1,71 @@
+"""Legacy dataset variants."""
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from srbh_tpu.data.legacy import SimpleTileDataset, WholeImageDataset, load_whole_s12
+from srbh_tpu.data.tiff import write_tiff
+
+
+@pytest.fixture(scope="module")
+def legacy_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("legacy")
+    rng = np.random.default_rng(0)
+    gt = (0.0, 10.0, 0.0, 1000.0, 0.0, -10.0)
+    # simple tiles
+    os.makedirs(root / "img")
+    os.makedirs(root / "bh")
+    rows = []
+    for i in range(3):
+        ip = str(root / "img" / f"t{i}.tif")
+        hp = str(root / "bh" / f"t{i}.tif")
+        write_tiff(ip, rng.integers(0, 255, (32, 32, 4)).astype(np.uint8), gt)
+        write_tiff(hp, rng.integers(0, 60, (128, 128)).astype(np.uint8), gt)
+        rows.append((ip, hp))
+    pd.DataFrame(rows).to_csv(root / "simple.csv", header=False, index=False)
+    # whole city
+    write_tiff(str(root / "city_s2_rgbnir_clip.tif"),
+               rng.integers(0, 3000, (70, 90, 4)).astype(np.uint16), gt)
+    write_tiff(str(root / "city_s1_vvvhratio_clip.tif"),
+               rng.uniform(-25, 5, (70, 90, 2)).astype(np.float32), gt)
+    os.makedirs(root / "stats")
+    np.savetxt(root / "stats" / "s2_rgbnir_minmax.txt",
+               np.stack([np.zeros(4), np.full(4, 3000.0)]))
+    np.savetxt(root / "stats" / "s1_vvvhratio_minmax.txt",
+               np.stack([np.full(2, -25.0), np.full(2, 5.0)]))
+    return root
+
+
+class TestSimpleTiles:
+    def test_basic_and_multiscale(self, legacy_root):
+        ds = SimpleTileDataset(str(legacy_root / "simple.csv"))
+        s = ds[0]
+        assert s["image"].shape == (32, 32, 4)
+        assert s["image"].max() <= 1.0
+        assert s["height"].shape == (128, 128)
+        ms = SimpleTileDataset(str(legacy_root / "simple.csv"),
+                               multi_scale=True)[0]
+        assert ms["height"]["stage1"].shape == (32, 32)
+        assert ms["height"]["stage3"].shape == (128, 128)
+
+
+class TestWholeImage:
+    def test_windows_cover_and_pad(self, legacy_root):
+        ds = WholeImageDataset(str(legacy_root), "city",
+                               str(legacy_root / "stats"),
+                               grid=64, stride=60)
+        assert len(ds) == 2 * 2  # 90/60 -> x in {0,60}; 70/60 -> y in {0,60}
+        s = ds[len(ds) - 1]  # ragged corner window, symmetric padded
+        assert s["image"].shape == (64, 64, 6)
+        assert s["pos"].tolist() == [60, 60, 30, 10]
+
+    def test_load_whole(self, legacy_root):
+        img, (h, w), pos = load_whole_s12(str(legacy_root), "city",
+                                          str(legacy_root / "stats"),
+                                          grid=64, stride=4)
+        assert (h, w) == (70, 90)
+        assert img.shape[0] % 60 == 4  # padded to step multiple + grid
+        assert img.shape[2] == 6
+        assert pos[0] == (0, 0)
