@@ -274,3 +274,51 @@ def ce_mse_loss(height_logits, height_target, seg_logits, seg_labels):
     """CE_MSE composite (myloss.py:8-30)."""
     mse = jnp.mean((height_logits - height_target) ** 2)
     return mse + softmax_cross_entropy(seg_logits, seg_labels)
+
+
+def _bce_with_logits(logits, target):
+    return jnp.mean(jnp.maximum(logits, 0) - logits * target
+                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+
+
+def _binary_iou(prob, target, smooth: float = 1.0):
+    """IOU term of the BCE composites (iou_loss.py:21-28)."""
+    p = prob.reshape(-1)
+    t = target.reshape(-1).astype(prob.dtype)
+    inter = jnp.sum(p * t)
+    union = jnp.sum(p) + jnp.sum(t) - inter
+    return 1.0 - (inter + smooth) / (union + smooth)
+
+
+def bce_ssim_iou_loss(logits, target01, data_range: float = 1.0):
+    """BCE + SSIM + IoU composite on binary maps (myloss.py:33-77).
+
+    ``logits``: (N, H, W, 1) raw scores; ``target01``: same-shape 0/1 mask.
+    """
+    from srbh_tpu.losses.ssim_loss import ssim_loss as _ssim_loss
+
+    prob = jax.nn.sigmoid(logits)
+    t = target01.astype(prob.dtype)
+    bce = _bce_with_logits(logits, t)
+    ssim = _ssim_loss(prob, t, data_range=data_range)
+    iou = _binary_iou(prob, t)
+    return bce + ssim + iou
+
+
+def bce_dice_loss(logits, target01):
+    """BCE + binary dice (myloss.py BCE_DICE)."""
+    from srbh_tpu.losses.adaptive import dice_binary
+
+    prob = jax.nn.sigmoid(logits)
+    t = target01.astype(prob.dtype)
+    return _bce_with_logits(logits, t) + dice_binary(prob, t)
+
+
+def ce_dice_iou_loss(logits, labels):
+    """CE + dice + IoU on the foreground channel (myloss.py CE_DICE_IOU)."""
+    from srbh_tpu.losses.adaptive import dice_binary
+
+    ce = softmax_cross_entropy(logits, labels)
+    prob_fg = jax.nn.softmax(logits, -1)[..., 1]
+    t = (labels > 0)
+    return ce + dice_binary(prob_fg, t) + _binary_iou(prob_fg, t)

@@ -156,6 +156,26 @@ class HeightMetric:
         return np.asarray(self.counts, np.float64)
 
 
+# metrics.py:89-140 / 238-289 are confusion-matrix classes identical to
+# SegmentationMetric minus the IoU family; alias them for API parity.
+ClassificationMetric = SegmentationMetric
+MultilabelMetric = SegmentationMetric
+
+
+def accprint_seg(metric: SegmentationMetric):
+    """Console dump (metrics.py:311-333): oa/miou/iou + f1/ua/pa + cm.T."""
+    print("oa, miou, iou, f1, ua, pa, confusion_matrix")
+    print(f"{metric.overall_accuracy():.3f}")
+    print(f"{metric.miou():.3f}")
+    print(" ".join(f"{v:.3f}" for v in metric.iou()))
+    for row in np.vstack([metric.f1(), metric.precision(), metric.recall()]):
+        print(" ".join(f"{v:.3f}" for v in row))
+    cm = metric.confusion_matrix().T
+    for row in cm:
+        print(" ".join(f"{v:.3f}" for v in row))
+    print(f"numtotal: {int(cm.sum())}")
+
+
 class AverageMeter:
     """Running value/sum/count/average (metrics.py:143-160)."""
 

@@ -191,3 +191,52 @@ def run_folder(task: str, folder: str, variables, scale: int = 1,
                 results["psnrb"].append(calculate_psnrb(
                     o, gt8, crop_border=border))
     return {k: (sum(v) / len(v) if v else None) for k, v in results.items()}
+
+
+def main(argv=None):
+    """CLI twin of SR/main_test_swinir.py:14-45 (weights from a converted
+    checkpoint dir instead of a release download — zero egress)."""
+    import argparse
+
+    from srbh_tpu.train.checkpoint import load_checkpoint
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--task", default="color_dn", choices=TASKS)
+    p.add_argument("--scale", type=int, default=1)
+    p.add_argument("--noise", type=int, default=15)
+    p.add_argument("--jpeg", type=int, default=40)
+    p.add_argument("--large_model", action="store_true")
+    p.add_argument("--model_path", default=None,
+                   help="orbax dir of converted SwinIR params")
+    p.add_argument("--folder_lq", default=None)
+    p.add_argument("--folder_gt", default=None)
+    p.add_argument("--tile", type=int, default=None)
+    p.add_argument("--tile_overlap", type=int, default=32)
+    args = p.parse_args(argv)
+
+    folder = args.folder_gt if args.task != "real_sr" else args.folder_lq
+    model = define_model(args.task, args.scale, large_model=args.large_model)
+    if args.model_path:
+        payload = load_checkpoint(args.model_path)
+        variables = {"params": payload["params"]}
+    else:
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        print("no --model_path: random init (smoke mode)")
+        variables = _jax.jit(model.init)(
+            _jax.random.PRNGKey(0),
+            _jnp.zeros((1, 64, 64, 1 if "gray" in args.task
+                        or args.task == "jpeg_car" else 3)))
+    save_dir = f"results/swinir_{args.task}_x{args.scale}"
+    res = run_folder(args.task, folder, variables, args.scale,
+                     args.folder_lq, args.noise, args.jpeg, args.tile,
+                     args.tile_overlap, save_dir, args.large_model)
+    for k, v in res.items():
+        if v is not None:
+            print(f"-- Average {k.upper()}: {v:.4f}")
+    return res
+
+
+if __name__ == "__main__":
+    main()
