@@ -168,10 +168,19 @@ class TiffInfo:
 
 
 class TiffReader:
-    """Single-IFD TIFF reader with windowed access."""
+    """Single-IFD TIFF reader with windowed access.
 
-    def __init__(self, path: str):
+    Decoded strips/tiles are LRU-cached (``max_cache_bytes``) — the fishnet
+    predictor reads overlapping 64-px windows with a 56-px stride, so every
+    strip is touched by several windows; caching turns the city sweep from
+    O(windows x strip) decompressions into one pass.
+    """
+
+    def __init__(self, path: str, max_cache_bytes: int = 512 << 20):
         self.path = path
+        self._cache: dict = {}
+        self._cache_bytes = 0
+        self._max_cache_bytes = max_cache_bytes
         with open(path, "rb") as f:
             self._buf = f.read()
         b = self._buf
@@ -284,6 +293,9 @@ class TiffReader:
 
     # ----------------------------------------------------------------- data
     def _decode_chunk(self, idx: int, shape: Tuple[int, ...]) -> np.ndarray:
+        cached = self._cache.get(idx)
+        if cached is not None:
+            return cached
         raw = self._buf[self.chunk_offsets[idx]:
                         self.chunk_offsets[idx] + self.chunk_counts[idx]]
         expected = int(np.prod(shape)) * self.dtype.itemsize
@@ -291,6 +303,9 @@ class TiffReader:
         arr = np.frombuffer(data, self.dtype, count=int(np.prod(shape))).reshape(shape)
         if self.predictor == 2:
             arr = np.cumsum(arr, axis=1, dtype=self.dtype)
+        if self._cache_bytes + arr.nbytes <= self._max_cache_bytes:
+            self._cache[idx] = arr
+            self._cache_bytes += arr.nbytes
         return arr
 
     def read(self, window: Optional[Tuple[int, int, int, int]] = None) -> np.ndarray:

@@ -37,8 +37,11 @@ def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16):
         height, build = outs[0], outs[1]
         h = jnp.round(jnp.clip(height[..., 0].astype(jnp.float32), 0, None)
                       * 10).astype(jnp.uint16)
+        # scaled softmax fits uint8 (values <= 255): halves the device->host
+        # transfer vs the reference's uint16 staging; the mosaic accumulates
+        # in int64 so nothing is lost (predict_…globe.py:176 semantics)
         b = jnp.round(jax.nn.softmax(build.astype(jnp.float32), axis=-1)
-                      * 255).astype(jnp.uint16)
+                      * 255).astype(jnp.uint8)
         return h, b
 
     return step
@@ -61,21 +64,22 @@ def predict_city(
     if os.path.exists(build_tif):
         return build_tif, height_tif  # resume: skip completed city
 
+    from srbh_tpu.data.pipeline import DataLoader
+
     acc = MosaicAccumulator(dataset.width, dataset.height, chans_build, upscale)
-    n = len(dataset)
-    window = dataset.window
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        samples = [dataset[i] for i in idxs]
-        images = np.stack([s["image"] for s in samples])
-        pos = np.stack([s["pos"] for s in samples])
-        if images.shape[0] < batch_size:  # pad tail batch to fixed shape
-            pad = batch_size - images.shape[0]
+    # threaded decode overlaps the host window reads with device compute
+    loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                        num_workers=4, prefetch=2)
+    for batch in loader:
+        images, pos = batch["image"], batch["pos"]
+        n_real = images.shape[0]
+        if n_real < batch_size:  # pad tail batch to fixed shape
+            pad = batch_size - n_real
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
         h, b = step(variables, sr_params, jnp.asarray(images))
-        h = np.asarray(h)[: len(idxs)]
-        b = np.asarray(b)[: len(idxs)]
+        h = np.asarray(h)[:n_real]
+        b = np.asarray(b)[:n_real]
         acc.add_batch(h, b, pos)
 
     height, build_cls, weight = acc.finalize()

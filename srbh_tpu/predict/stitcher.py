@@ -34,6 +34,8 @@ class MosaicAccumulator:
         pos (N, 4) [xoff, yoff, xcount, ycount] in source pixels."""
         from srbh_tpu import native
 
+        if build_u16.dtype == np.uint8:  # compact transfer staging
+            build_u16 = build_u16.astype(np.uint16)
         if (height_u16.dtype == np.uint16 and build_u16.dtype == np.uint16
                 and native.blend_tiles(
                     self.height_sum, self.build_sum, self.weight,
