@@ -322,3 +322,34 @@ def ce_dice_iou_loss(logits, labels):
     prob_fg = jax.nn.softmax(logits, -1)[..., 1]
     t = (labels > 0)
     return ce + dice_binary(prob_fg, t) + _binary_iou(prob_fg, t)
+
+
+def bce_ssim_iou_bd_loss(logits, target01, dist_map, bd_weight: float = 1.0,
+                         data_range: float = 1.0):
+    """BCE+SSIM+IoU plus a boundary-distance term (myloss.py BCE_SSIM_IOU_BD):
+    the binary analogue of :func:`boundary_loss` on the foreground prob."""
+    prob = jax.nn.sigmoid(logits)
+    base = bce_ssim_iou_loss(logits, target01, data_range)
+    bd = jnp.mean(prob * dist_map)
+    return base + bd_weight * bd
+
+
+def hausdorff_er_loss(logits, labels, alpha: float = 2.0, erosions: int = 3):
+    """Erosion-based Hausdorff loss (hausdorff.py:107-173 capability twin):
+    repeatedly 'erode' the squared error map with a 3x3 mean filter, summing
+    each level scaled by ``k^alpha`` — deeper surviving error (far inside a
+    mis-segmented region) costs more."""
+    probs = jax.nn.softmax(logits, -1)[..., 1]
+    gt = (labels > 0).astype(probs.dtype)
+    err = (probs - gt) ** 2  # (N, H, W)
+    kernel = jnp.full((3, 3, 1, 1), 1.0 / 9.0, probs.dtype)
+    loss = 0.0
+    cur = err[..., None]
+    for k in range(erosions):
+        loss = loss + jnp.mean(cur) * ((k + 1) ** alpha)
+        smoothed = jax.lax.conv_general_dilated(
+            cur, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # soft erosion: keep only interior error mass
+        cur = jax.nn.relu(smoothed * 2.0 - 1.0) * cur
+    return loss

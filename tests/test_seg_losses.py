@@ -107,6 +107,25 @@ class TestBoundaryLosses:
         assert np.isfinite(v) and v >= 0
 
 
+class TestComposites:
+    def test_bce_family_and_hausdorff_er(self):
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
+        t = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32))
+        assert np.isfinite(float(seg.bce_ssim_iou_loss(logits, t)))
+        assert np.isfinite(float(seg.bce_dice_loss(logits, t)))
+        dist = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
+        assert np.isfinite(float(seg.bce_ssim_iou_bd_loss(logits, t, dist)))
+        ml = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
+        lab = jnp.asarray(rng.integers(0, 3, (1, 16, 16)))
+        assert np.isfinite(float(seg.ce_dice_iou_loss(ml, lab)))
+        v = float(seg.hausdorff_er_loss(ml, lab))
+        assert np.isfinite(v) and v >= 0
+        # perfect prediction -> near-zero erosion loss
+        perfect = jax.nn.one_hot(lab, 3) * 100.0
+        assert float(seg.hausdorff_er_loss(perfect, lab)) < 1e-4
+
+
 class TestSSIMLosses:
     def test_identical_images_zero_loss(self):
         x = jnp.asarray(np.random.default_rng(0).uniform(
