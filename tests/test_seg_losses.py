@@ -119,11 +119,14 @@ class TestComposites:
         ml = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
         lab = jnp.asarray(rng.integers(0, 3, (1, 16, 16)))
         assert np.isfinite(float(seg.ce_dice_iou_loss(ml, lab)))
-        v = float(seg.hausdorff_er_loss(ml, lab))
+        # hausdorff ER is a binary loss (class-1 prob vs labels > 0)
+        lab2 = jnp.asarray(rng.integers(0, 2, (1, 16, 16)))
+        ml2 = jnp.asarray(rng.normal(size=(1, 16, 16, 2)).astype(np.float32))
+        v = float(seg.hausdorff_er_loss(ml2, lab2))
         assert np.isfinite(v) and v >= 0
         # perfect prediction -> near-zero erosion loss
-        perfect = jax.nn.one_hot(lab, 3) * 100.0
-        assert float(seg.hausdorff_er_loss(perfect, lab)) < 1e-4
+        perfect = jax.nn.one_hot(lab2, 2) * 100.0
+        assert float(seg.hausdorff_er_loss(perfect, lab2)) < 1e-4
 
 
 class TestSSIMLosses:
