@@ -60,9 +60,17 @@ class SRRegressClsFeature(nn.Module):
         if self.isaggre:
             self.aggre_height = tconv(1, 3, dtype=self.dtype)
 
-    def __call__(self, x, super_fea, train: bool = False, with_build: bool = True):
+    def __call__(self, x, super_fea, train: bool = False,
+                 with_build: bool = True, with_aggre: Optional[bool] = None):
         """x: (N, 64, 64, 8) normalised S2+S1; super_fea: (N, 256, 256, 64)
-        frozen RRDBNet features."""
+        frozen RRDBNet features.
+
+        ``with_build=False, with_aggre=False`` is the reference's
+        ``forward_unsup`` (mymodels.py:295-312, height only);
+        ``with_build=False`` alone is ``forward_nobuild`` (:314-337).
+        """
+        with_aggre = self.isaggre if with_aggre is None else (
+            with_aggre and self.isaggre)
         feats = self.encoder(x, train)
         hr = self.hrfeat(super_fea, train)
 
@@ -73,7 +81,7 @@ class SRRegressClsFeature(nn.Module):
         if with_build:
             build_fea = self.decoder2(*feats, train=train)
             outputs.append(self.seg(build_fea, hr, train))
-        if self.isaggre:
+        if with_aggre:
             outputs.append(self.aggre_height(height_fea))
         return tuple(outputs) if len(outputs) > 1 else outputs[0]
 

@@ -123,6 +123,12 @@ class TestForwardShapes:
         assert height2.shape == (2, 128, 128, 1)
         np.testing.assert_allclose(np.asarray(height2), np.asarray(height),
                                    atol=1e-5)
+        # unsup path: height only (mymodels.py:295-312)
+        height3 = jax.jit(
+            lambda v, a, b: m.apply(v, a, b, with_build=False,
+                                    with_aggre=False)
+        )(variables, x, fea)
+        assert height3.shape == (2, 128, 128, 1)
 
     def test_refine_variant(self):
         x = jnp.zeros((1, 32, 32, 8))
