@@ -145,10 +145,6 @@ class S2GlobeDataset(S12GlobeDataset):
                   else np.ones((256, 256), np.uint8))
         return img, height, os.path.join(self.rootname, s2dir, basename)
 
-    def __getitem__(self, index):
-        sample = super().__getitem__(index)
-        return sample
-
 
 class S1GlobeDataset(S12GlobeDataset):
     """S1-only ablation (BH_loader.py:520-634)."""

@@ -1,11 +1,14 @@
 """Checkpointing: orbax pytree checkpoints with the reference's semantics.
 
-Twin of train.py:199-212 / 151-168: save ``{params, batch_stats, opt_state,
-log_vars, epoch, best_rmse}`` every epoch to ``checkpoint/``, snapshot
+Twin of train.py:199-212 / 151-168: save ``{params, batch_stats, log_vars,
+step, epoch, best_rmse}`` every epoch to ``checkpoint/``, snapshot
 ``checkpoint{N}`` every 5 epochs, copy ``model_best`` on improvement, and
-resume restoring weights + epoch + log_vars. (The reference's ``best_acc``
-min-update bug — initialised to 0 so ``model_best.tar`` never refreshes,
-SURVEY.md §5.4 — is *fixed* here: best starts at +inf.)
+resume restoring weights + epoch + log_vars. Like the reference, optimizer
+state is NOT saved/restored by default (train.py:163-164,207 commented out);
+pass ``save_opt_state=True`` (and it restores automatically) for exact
+resume — the TPU-native extra the reference lacks. (The reference's
+``best_acc`` min-update bug — initialised to 0 so ``model_best.tar`` never
+refreshes, SURVEY.md §5.4 — is *fixed* here: best starts at +inf.)
 """
 from __future__ import annotations
 
@@ -23,8 +26,13 @@ def _ckptr():
 
 
 def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
-                    snapshot_every: int = 5, is_best: bool = False):
-    """Write ``checkpoint/`` (+ ``checkpoint{epoch}/``, ``model_best/``)."""
+                    snapshot_every: int = 5, is_best: bool = False,
+                    save_opt_state: bool = False):
+    """Write ``checkpoint/`` (+ ``checkpoint{epoch}/``, ``model_best/``).
+
+    ``save_opt_state=True`` additionally persists the optax state (Adam
+    moments + injected hyperparams, as a flax state-dict so orbax sees only
+    plain containers), enabling bitwise-exact resume."""
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -33,6 +41,11 @@ def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
         "epoch": int(epoch),
         "best_rmse": float(best_rmse),
     }
+    if save_opt_state:
+        from flax import serialization
+
+        payload["opt_state"] = jax.device_get(
+            serialization.to_state_dict(state.opt_state))
     path = os.path.abspath(os.path.join(logdir, "checkpoint"))
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -61,16 +74,26 @@ def load_checkpoint(path: str) -> Optional[dict]:
 def restore_into_state(state, payload: dict):
     """Rebuild a TrainState's variable leaves from a checkpoint payload.
 
-    Optimiser state is intentionally not restored, matching the reference's
-    resume (train.py:163-164 commented out).
+    By default optimiser state is absent from checkpoints and is not
+    restored, matching the reference's resume (train.py:163-164 commented
+    out). If the checkpoint was written with ``save_opt_state=True`` the
+    optax state is restored too (exact resume).
     """
     import jax.numpy as jnp
 
     tree = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     stats = jax.tree_util.tree_map(jnp.asarray, payload["batch_stats"])
-    return state.replace(
+    state = state.replace(
         params=tree,
         batch_stats=stats,
         log_vars=jnp.asarray(payload["log_vars"]),
         step=jnp.asarray(payload.get("step", 0), jnp.int32),
     )
+    if payload.get("opt_state") is not None:
+        from flax import serialization
+
+        opt_state = serialization.from_state_dict(
+            state.opt_state, payload["opt_state"])
+        state = state.replace(
+            opt_state=jax.tree_util.tree_map(jnp.asarray, opt_state))
+    return state

@@ -49,6 +49,8 @@ class TrainConfig:
     # TPU knobs (new)
     bf16: bool = False
     num_sample: int = 0
+    # exact resume: persist optax state (reference never does, train.py:207)
+    save_opt_state: bool = False
     # frozen-SR architecture (defaults = Real-ESRGAN x4plus, train.py:133-136)
     sr_num_block: int = 23
     sr_num_feat: int = 64

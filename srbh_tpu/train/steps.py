@@ -7,9 +7,17 @@ single executable — there is no separate "feature extraction" launch like the
 reference's two-model pipeline.
 
 Sharding: steps are jitted with a ``data``-axis batch sharding and replicated
-state (``srbh_tpu.parallel.mesh``); XLA inserts the gradient psum. BatchNorm
-statistics are computed over the *global* batch (a plain mean under GSPMD),
-which subsumes the reference's single-device BN.
+state (``srbh_tpu.parallel.mesh``); XLA inserts the gradient psum.
+
+BatchNorm parity decision (pinned): statistics are computed over the
+*global* batch (a plain mean under GSPMD). This matches the reference's
+single-GPU BN exactly — torch computes stats over its whole batch of 16
+(train.py:97), and the global batch here is that same batch regardless of
+how many chips it is sharded over. Per-device ("local") stats would be the
+semantics that *diverges* from the reference, so no local-stats mode is
+offered. Pinned by ``tests/test_train.py::test_dp_matches_single_device``,
+which asserts bit-level equal loss AND batch_stats between the 8-device
+sharded step and the unsharded step.
 """
 from __future__ import annotations
 
@@ -23,15 +31,20 @@ from srbh_tpu.losses.adaptive import ce_dice_adapt_weight, mse_adapt_weight
 from srbh_tpu.train.state import TrainState
 
 
-def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True):
+def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
+                    seed: int = 0):
     """Build the jitted aggre+weight train step (train.py:225-271).
 
     Batch dict (NHWC): ``image`` (N,64,64,8), ``height`` (N,256,256),
     ``height_aggre`` (N,64,64), ``build`` (N,256,256) int, ``weight``
     (N,256,256), ``weight_aggre`` (N,64,64).
+    ``seed`` roots the per-step dropout/drop-connect RNG (folded with
+    ``state.step``), making seeded runs reproducible end-to-end like the
+    reference's global seeding (train.py:86-90).
     Returns ``(state, metrics)`` with loss / rmse / log_vars.
     """
     rgb = jnp.asarray(rgb_idx)
+    base_rng = jax.random.PRNGKey(seed)
 
     def step(state: TrainState, sr_params, batch, lr):
         sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
@@ -43,7 +56,7 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True):
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["image"], sr_fea, train=True,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)},
+                rngs={"dropout": jax.random.fold_in(base_rng, state.step)},
             )
             height, build, aggre = outs
             height = height[..., 0]

@@ -86,7 +86,11 @@ def load_sr_params(cfg: TrainConfig, sr_params):
 
 def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
                  ishir: bool, num_sample: int = 0, shuffle: bool = True,
-                 preweight: Optional[str] = None):
+                 preweight: Optional[str] = None, sharding=None,
+                 device_put: bool = True, drop_last: bool = False):
+    """Loader with async device prefetch: batches are already on device
+    (optionally data-axis sharded) when the step consumes them, so the jitted
+    step never blocks on a synchronous host->device copy."""
     ds = S12GlobeDataset(
         os.path.join(cfg.datapath, listname), cfg.datapath,
         datastats=cfg.datastats, normmethod="minmax", datarange=(0, 1),
@@ -94,7 +98,9 @@ def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
         heightdir=cfg.bhdir, preweight=preweight, isaggre=isaggre,
         ishir=ishir, hir=cfg.hir, nchans=cfg.nchanss2, seed=cfg.seed)
     return DataLoader(ds, batch_size=cfg.batch_size, shuffle=shuffle,
-                      num_workers=cfg.num_workers, seed=cfg.seed)
+                      num_workers=cfg.num_workers, seed=cfg.seed,
+                      drop_last=drop_last, device_put=device_put,
+                      sharding=sharding)
 
 
 def _to_device_batch(batch, isaggre=True):
@@ -118,18 +124,18 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         data_parallel = (jax.device_count() > 1
                          and cfg.batch_size % jax.device_count() == 0)
     mesh = pmesh.make_mesh() if data_parallel else None
+    sharding = pmesh.batch_sharding(mesh) if mesh is not None else None
 
+    # fixed-shape sharded batches on a mesh: drop ragged tails
     trainloader = _make_loader(cfg, cfg.trainlist, aug=True,
                                isaggre=cfg.isaggre, ishir=cfg.ishir,
                                num_sample=cfg.num_sample,
-                               preweight=cfg.preweight)
+                               preweight=cfg.preweight, sharding=sharding,
+                               drop_last=mesh is not None)
     valloader = _make_loader(cfg, cfg.vallist, aug=False, isaggre=False,
                              ishir=False, num_sample=cfg.num_sample // 2,
-                             shuffle=False)
-    if mesh is not None:
-        # fixed-shape sharded batches: drop ragged tails
-        trainloader.drop_last = True
-        valloader.drop_last = True
+                             shuffle=False, sharding=sharding,
+                             drop_last=mesh is not None)
 
     model, sr = build_models(cfg)
     variables, sr_params = init_models(cfg, model, sr)
@@ -148,15 +154,17 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         best_rmse = payload.get("best_rmse", float("inf"))
         print(f"=> resumed epoch {start_epoch}")
 
-    train_step = make_train_step(model, sr, cfg.rgbseq, cfg.isaggre)
+    train_step = make_train_step(model, sr, cfg.rgbseq, cfg.isaggre,
+                                 seed=cfg.seed)
     eval_step = make_eval_step(model, sr, cfg.rgbseq)
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
         sr_params = pmesh.replicate(sr_params, mesh)
 
     def to_device(batch, isaggre):
-        b = _to_device_batch(batch, isaggre)
-        return pmesh.shard_batch(b, mesh) if mesh is not None else b
+        # batches arrive pre-placed (and pre-sharded on a mesh) by the
+        # loader's prefetch thread; this just selects the step's keys.
+        return _to_device_batch(batch, isaggre)
 
     os.makedirs(cfg.logdir, exist_ok=True)
     if writer is None:
@@ -193,7 +201,8 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         is_best = val_rmses.avg < best_rmse
         best_rmse = min(val_rmses.avg, best_rmse)
         save_checkpoint(cfg.logdir, state, epoch, best_rmse,
-                        snapshot_every=5, is_best=is_best)
+                        snapshot_every=5, is_best=is_best,
+                        save_opt_state=cfg.save_opt_state)
         print(f"epoch {epoch}: lr {lr:.6f} train loss {losses.avg:.3f} "
               f"rmse {rmses.avg:.3f} | val rmse {val_rmses.avg:.3f}"
               f"{' *best*' if is_best else ''}")

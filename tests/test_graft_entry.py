@@ -1,0 +1,45 @@
+"""Driver-facing entry points (``__graft_entry__``).
+
+The driver imports ``__graft_entry__`` under whatever backend the host pins
+and calls ``dryrun_multichip(8)`` directly — round 1 failed because the
+function required the caller to pre-set ``XLA_FLAGS``
+(MULTICHIP_r01.json: ok=false). These tests pin the self-bootstrap contract:
+the dry-run must succeed from an environment *without*
+``xla_force_host_platform_device_count`` preset.
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_in_process():
+    """With >=8 devices already visible (conftest mesh), runs in-process."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__
+        __graft_entry__.dryrun_multichip(8)
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_dryrun_multichip_self_bootstraps_without_xla_flags():
+    """From a 1-device env with no XLA_FLAGS, the dry-run re-execs itself."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the condition that broke round 1
+    env["JAX_PLATFORMS"] = "cpu"  # stay off the TPU tunnel in CI
+    env.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(4)\n" % REPO
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4): loss=" in proc.stdout
+    assert "devices=4" in proc.stdout

@@ -132,6 +132,23 @@ class TestDataParallel:
         assert np.isfinite(float(m2["loss"]))
         np.testing.assert_allclose(loss1, float(m2["loss"]), rtol=2e-5)
 
+    def test_dp_batch_stats_are_global_batch(self, pipeline):
+        """BN parity pin (steps.py docstring): stats after one sharded step
+        equal the unsharded step's — global-batch BN == the reference's
+        single-GPU BN over the same batch."""
+        mesh = pmesh.make_mesh()
+        state1 = pipeline["fresh_state"]()
+        state1, _ = pipeline["step"](state1, pipeline["sr_params"],
+                                     pipeline["batch"], jnp.asarray(1e-3))
+        state2 = pmesh.replicate(pipeline["fresh_state"](), mesh)
+        sharded = pmesh.shard_batch(pipeline["batch"], mesh)
+        sr_rep = pmesh.replicate(pipeline["sr_params"], mesh)
+        state2, _ = pipeline["step"](state2, sr_rep, sharded, jnp.asarray(1e-3))
+        for a, b in zip(jax.tree_util.tree_leaves(state1.batch_stats),
+                        jax.tree_util.tree_leaves(state2.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
 
 class TestCheckpoint:
     def test_roundtrip(self, pipeline, trained, tmp_path):
@@ -152,3 +169,33 @@ class TestCheckpoint:
 
     def test_missing_checkpoint_returns_none(self, tmp_path):
         assert load_checkpoint(str(tmp_path / "nope")) is None
+
+    def test_default_omits_opt_state_like_reference(self, trained, tmp_path):
+        # train.py:207 keeps the optimizer-state save commented out
+        path = save_checkpoint(str(tmp_path), trained["state"], epoch=1,
+                               best_rmse=1.0)
+        assert load_checkpoint(path).get("opt_state") is None
+
+    def test_exact_resume_restores_opt_state(self, pipeline, trained, tmp_path):
+        state = trained["state"]
+        path = save_checkpoint(str(tmp_path), state, epoch=6, best_rmse=2.0,
+                               save_opt_state=True)
+        restored = restore_into_state(pipeline["fresh_state"](),
+                                      load_checkpoint(path))
+        ref_leaves = jax.tree_util.tree_leaves(state.opt_state)
+        got_leaves = jax.tree_util.tree_leaves(restored.opt_state)
+        assert len(ref_leaves) == len(got_leaves)
+        for a, b in zip(ref_leaves, got_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # the restored state must step identically to the original (donation
+        # consumes both inputs, so this is the last use of `trained`)
+        s1, m1 = pipeline["step"](state, pipeline["sr_params"],
+                                  pipeline["batch"], jnp.asarray(1e-3))
+        s2, m2 = pipeline["step"](restored, pipeline["sr_params"],
+                                  pipeline["batch"], jnp.asarray(1e-3))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
