@@ -1,42 +1,110 @@
-"""Learned image metrics: CLIPScore and LPIPS (gated).
+"""Learned image metrics: CLIPScore and LPIPS.
 
-Twin of SR/psnr_ssim.py:493-602. Both need externally-trained encoders
-(CLIP/CLIPA/SigLIP via ``clip``/``open_clip``; AlexNet/VGG via ``lpips``)
-that are neither baked into this image nor fetchable (zero egress). The
-functions keep the reference API and raise a clear error unless the optional
-packages + weights are present.
+Twin of SR/psnr_ssim.py:493-602. The encoders are real Flax modules
+(``srbh_tpu.models.clip.CLIPVisionTransformer``,
+``srbh_tpu.models.lpips.LPIPS``) with converters for the published torch
+weights; only the *pretrained weights* are gated (zero egress — they must be
+converted from a local checkpoint), not the architecture.
+
+Reference quirks reproduced faithfully:
+
+* inputs are HWC uint8-range arrays divided by 255 and **nearest**-resized
+  (torch ``F.interpolate`` default) to the encoder's input size
+  (SR/psnr_ssim.py:510-517);
+* no CLIP mean/std normalisation is applied before encoding (the reference
+  skips the preprocess transform it unpacks from ``clip.load``);
+* LPIPS is fed the [0, 1] tensors directly even though ``lpips.LPIPS``
+  documents a [-1, 1] input range (SR/psnr_ssim.py:572-578) — the scaling
+  layer sees [0, 1], same as upstream.
+
+Weight acquisition (outside this image): ``clip.load("ViT-B/16")`` /
+``lpips.LPIPS(net='alex')`` -> ``state_dict()`` -> ``torch.save`` -> convert
+with :func:`srbh_tpu.models.clip.convert_clip_visual` /
+:func:`srbh_tpu.models.lpips.convert_lpips_alex`.
 """
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
+from srbh_tpu.models.clip import CLIPVisionTransformer
+from srbh_tpu.models.lpips import LPIPS
 
-def _missing(pkg: str, what: str):
-    raise ModuleNotFoundError(
-        f"{what} requires the optional '{pkg}' package and its pretrained "
-        "weights, which are not available in this environment (zero egress). "
-        "Install them and re-run; the rest of the metric suite "
-        "(PSNR/SSIM/cPSNR/PSNR-B) has no external dependencies.")
-
-
-def calculate_clipscore(img, img2, clip_model: str = "clip-ViT-B/16"):
-    """Cosine similarity of CLIP-family embeddings (SR/psnr_ssim.py:493-560)."""
-    try:
-        if clip_model.startswith("clip-"):
-            import clip  # noqa: F401
-        else:
-            import open_clip  # noqa: F401
-    except ImportError:
-        _missing("clip/open_clip", "CLIPScore")
-    raise NotImplementedError(
-        "CLIP weights unavailable in this image; see module docstring")
+# encoder presets of SR/psnr_ssim.py:496-507; only the CLIP ViT tower
+# architecture is implemented (the open_clip variants use attention-MAP
+# pooling towers — different architecture, raise like the reference does for
+# unknown names).
+_CLIP_PRESETS = {
+    "clip-ViT-B/16": dict(image_size=224, patch_size=16, width=768,
+                          layers=12, heads=12, output_dim=512,
+                          use_quick_gelu=True),
+}
 
 
-def calculate_lpips(img, img2, net: str = "alex"):
-    """LPIPS perceptual distance (SR/psnr_ssim.py:563-602)."""
-    try:
-        import lpips  # noqa: F401
-    except ImportError:
-        _missing("lpips", "LPIPS")
-    raise NotImplementedError(
-        "LPIPS weights unavailable in this image; see module docstring")
+def clip_vision_model(clip_model: str = "clip-ViT-B/16") -> CLIPVisionTransformer:
+    if clip_model not in _CLIP_PRESETS:
+        raise ValueError(
+            f"{clip_model!r} is not supported for CLIPScore "
+            f"(available: {sorted(_CLIP_PRESETS)}; the open_clip "
+            "CLIPA/SigLIP towers use attention-pool heads not implemented "
+            "here)")
+    return CLIPVisionTransformer(**_CLIP_PRESETS[clip_model])
+
+
+def _require(variables, what: str, converter: str):
+    if variables is None:
+        raise ValueError(
+            f"{what} needs pretrained weights: convert a torch state_dict "
+            f"with srbh_tpu.models.{converter} and pass the result as "
+            "`variables` (zero-egress image — weights cannot be fetched "
+            "here; PSNR/SSIM/cPSNR/PSNR-B need no weights).")
+
+
+def _prep(img, size: Optional[int] = None, dtype=jnp.float32):
+    """HWC [0,255] -> (1,S,S,C) float [0,1]; if ``size`` is given,
+    nearest-resize (the reference's F.interpolate default,
+    SR/psnr_ssim.py:515-517)."""
+    x = jnp.asarray(np.asarray(img), dtype) / 255.0
+    if x.ndim == 2:
+        x = x[..., None]
+    if x.shape[-1] == 1:  # 1-ch inputs are channel-repeated (psnr_ssim.py:552)
+        x = jnp.repeat(x, 3, axis=-1)
+    x = x[None]
+    if size is not None and (x.shape[1] != size or x.shape[2] != size):
+        x = jax.image.resize(x, (1, size, size, x.shape[-1]), method="nearest")
+    return x
+
+
+def calculate_clipscore(img, img2, variables=None,
+                        clip_model: str = "clip-ViT-B/16",
+                        model: Optional[CLIPVisionTransformer] = None) -> float:
+    """Cosine similarity of CLIP image embeddings (SR/psnr_ssim.py:493-522)."""
+    model = model or clip_vision_model(clip_model)
+    _require(variables, "CLIPScore", "clip.convert_clip_visual")
+    size = model.image_size
+    f1 = model.apply(variables, _prep(img, size))
+    f2 = model.apply(variables, _prep(img2, size))
+    f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
+    f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
+    return float(jnp.sum(f1 * f2, axis=-1).mean())
+
+
+def calculate_lpips(img, img2, variables=None, net: str = "alex",
+                    model: Optional[LPIPS] = None) -> float:
+    """LPIPS perceptual distance (SR/psnr_ssim.py:563-580).
+
+    Like the reference, the [0, 1] tensors go straight into the network
+    (upstream lpips' documented range is [-1, 1]; psnr_ssim.py:572-578 skips
+    that remap, so we do too).
+    """
+    if net != "alex" and model is None:
+        raise ValueError(
+            f"net={net!r} not supported (only the 'alex' trunk is "
+            "implemented; pass a custom `model` for other backbones)")
+    model = model or LPIPS()
+    _require(variables, "LPIPS", "lpips.convert_lpips_alex")
+    # no resize: lpips runs at native resolution (SR/psnr_ssim.py:572-580)
+    return float(model.apply(variables, _prep(img), _prep(img2))[0])

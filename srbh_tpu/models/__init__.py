@@ -24,6 +24,8 @@ from srbh_tpu.models.sr_regress import SRRegress, SRRegressClsDecision, SRRegres
 from srbh_tpu.models.swinir import SwinIR, SwinTransformerBlock, WindowAttention
 from srbh_tpu.models.unet_decoder import UnetDecoder
 from srbh_tpu.models.vgg import VGG19Features, load_torchvision_vgg19
+from srbh_tpu.models.clip import CLIPVisionTransformer, convert_clip_visual
+from srbh_tpu.models.lpips import LPIPS, AlexNetFeatures, convert_lpips_alex
 
 __all__ = [
     "EDSR", "ResBlock", "EfficientNetEncoder", "ESPCN",
@@ -37,4 +39,6 @@ __all__ = [
     "VGG19Features", "load_torchvision_vgg19",
     "BasicBlock", "ConvBNAct", "PixelShuffleUpsampler", "param_count",
     "RRDB", "RRDBNet", "RRDBNetSimple", "ResidualDenseBlock", "UnetDecoder",
+    "CLIPVisionTransformer", "convert_clip_visual",
+    "LPIPS", "AlexNetFeatures", "convert_lpips_alex",
 ]

@@ -1,0 +1,238 @@
+"""CLIPScore / LPIPS: numerical parity of the Flax towers + converters
+against torch reference implementations built in-test (torch is available on
+CPU; the *pretrained packages* clip/open_clip/lpips are not — so the torch
+side here re-implements their documented forward passes with random weights,
+which is exactly what the converters must map correctly).
+
+Reference: SR/psnr_ssim.py:493-602.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srbh_tpu.metrics.learned import (
+    calculate_clipscore,
+    calculate_lpips,
+    clip_vision_model,
+)
+from srbh_tpu.models.clip import CLIPVisionTransformer, convert_clip_visual
+from srbh_tpu.models.lpips import LPIPS, convert_lpips_alex
+
+torch = pytest.importorskip("torch")
+
+WIDTH, HEADS, LAYERS, PATCH, IMG = 64, 4, 2, 8, 24
+
+
+def _torch_clip_visual_sd(rng):
+    """Random weights in the OpenAI CLIP ``visual.*`` state_dict layout."""
+    n_tok = (IMG // PATCH) ** 2 + 1
+    sd = {
+        "conv1.weight": rng.normal(0, 0.02, (WIDTH, 3, PATCH, PATCH)),
+        "class_embedding": rng.normal(0, 0.02, (WIDTH,)),
+        "positional_embedding": rng.normal(0, 0.02, (n_tok, WIDTH)),
+        "ln_pre.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+        "ln_pre.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "ln_post.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+        "ln_post.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "proj": rng.normal(0, 0.02, (WIDTH, 32)),
+    }
+    for i in range(LAYERS):
+        t = f"transformer.resblocks.{i}."
+        sd.update({
+            t + "ln_1.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+            t + "ln_1.bias": rng.normal(0, 0.02, (WIDTH,)),
+            t + "ln_2.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+            t + "ln_2.bias": rng.normal(0, 0.02, (WIDTH,)),
+            t + "attn.in_proj_weight": rng.normal(0, 0.05, (3 * WIDTH, WIDTH)),
+            t + "attn.in_proj_bias": rng.normal(0, 0.02, (3 * WIDTH,)),
+            t + "attn.out_proj.weight": rng.normal(0, 0.05, (WIDTH, WIDTH)),
+            t + "attn.out_proj.bias": rng.normal(0, 0.02, (WIDTH,)),
+            t + "mlp.c_fc.weight": rng.normal(0, 0.05, (4 * WIDTH, WIDTH)),
+            t + "mlp.c_fc.bias": rng.normal(0, 0.02, (4 * WIDTH,)),
+            t + "mlp.c_proj.weight": rng.normal(0, 0.05, (WIDTH, 4 * WIDTH)),
+            t + "mlp.c_proj.bias": rng.normal(0, 0.02, (WIDTH,)),
+        })
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+def _torch_clip_forward(sd, x_nchw):
+    """OpenAI CLIP VisionTransformer.forward, verbatim semantics
+    (conv -> tokens -> pre-LN blocks with QuickGELU -> ln_post[cls] @ proj)."""
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+    x = torch.from_numpy(x_nchw)
+    x = F.conv2d(x, t["conv1.weight"], stride=PATCH)
+    b = x.shape[0]
+    x = x.reshape(b, WIDTH, -1).permute(0, 2, 1)  # (B, N, W)
+    cls = t["class_embedding"].expand(b, 1, WIDTH)
+    x = torch.cat([cls, x], dim=1) + t["positional_embedding"]
+    x = F.layer_norm(x, (WIDTH,), t["ln_pre.weight"], t["ln_pre.bias"])
+    for i in range(LAYERS):
+        p = f"transformer.resblocks.{i}."
+        y = F.layer_norm(x, (WIDTH,), t[p + "ln_1.weight"], t[p + "ln_1.bias"])
+        y, _ = F.multi_head_attention_forward(
+            y.transpose(0, 1), y.transpose(0, 1), y.transpose(0, 1),
+            WIDTH, HEADS, t[p + "attn.in_proj_weight"],
+            t[p + "attn.in_proj_bias"], None, None, False, 0.0,
+            t[p + "attn.out_proj.weight"], t[p + "attn.out_proj.bias"],
+            need_weights=False)
+        x = x + y.transpose(0, 1)
+        y = F.layer_norm(x, (WIDTH,), t[p + "ln_2.weight"], t[p + "ln_2.bias"])
+        y = y @ t[p + "mlp.c_fc.weight"].T + t[p + "mlp.c_fc.bias"]
+        y = y * torch.sigmoid(1.702 * y)  # QuickGELU
+        y = y @ t[p + "mlp.c_proj.weight"].T + t[p + "mlp.c_proj.bias"]
+        x = x + y
+    x = F.layer_norm(x[:, 0], (WIDTH,), t["ln_post.weight"], t["ln_post.bias"])
+    return (x @ t["proj"]).numpy()
+
+
+class TestCLIPTower:
+    def test_matches_torch_forward(self):
+        rng = np.random.default_rng(0)
+        sd = _torch_clip_visual_sd(rng)
+        model = CLIPVisionTransformer(image_size=IMG, patch_size=PATCH,
+                                      width=WIDTH, layers=LAYERS, heads=HEADS,
+                                      output_dim=32)
+        variables = convert_clip_visual(sd, layers=LAYERS)
+        x = rng.uniform(0, 1, (2, IMG, IMG, 3)).astype(np.float32)
+        got = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+        want = _torch_clip_forward(sd, x.transpose(0, 3, 1, 2))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+    def test_converter_accepts_visual_prefix(self):
+        rng = np.random.default_rng(1)
+        sd = {"visual." + k: v for k, v in _torch_clip_visual_sd(rng).items()}
+        v = convert_clip_visual(sd, layers=LAYERS)
+        assert v["params"]["conv1"]["kernel"].shape == (PATCH, PATCH, 3, WIDTH)
+
+    def test_vit_b16_structure(self):
+        """The real preset initialises with CLIP ViT-B/16's parameter count
+        (OpenAI visual tower: 86.19 M incl. the 512-d projection)."""
+        model = clip_vision_model("clip-ViT-B/16")
+        variables = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 224, 224, 3), jnp.float32))
+        n = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(variables))
+        assert n == 86_192_640, n
+
+    def test_unknown_preset_raises(self):
+        with pytest.raises(ValueError, match="not supported"):
+            clip_vision_model("resnet50")
+
+
+def _torch_lpips_sd(rng):
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    feat_idx = (0, 3, 6, 8, 10)
+    sd = {}
+    for i, (shape, fi) in enumerate(zip(shapes, feat_idx)):
+        sd[f"net.slice{i + 1}.{fi}.weight"] = rng.normal(
+            0, 0.05, shape).astype(np.float32)
+        sd[f"net.slice{i + 1}.{fi}.bias"] = rng.normal(
+            0, 0.02, (shape[0],)).astype(np.float32)
+        sd[f"lin{i}.model.1.weight"] = rng.uniform(
+            0, 0.1, (1, shape[0], 1, 1)).astype(np.float32)
+    return sd
+
+
+def _torch_lpips_forward(sd, x0_nchw, x1_nchw):
+    """lpips.LPIPS(net='alex').forward with explicit ops."""
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def feats(x):
+        x = (x - shift) / scale
+        taps = []
+        specs = [("net.slice1.0", 4, 2, False), ("net.slice2.3", 1, 2, True),
+                 ("net.slice3.6", 1, 1, True), ("net.slice4.8", 1, 1, False),
+                 ("net.slice5.10", 1, 1, False)]
+        for name, stride, pad, pool in specs:
+            if pool:
+                x = F.max_pool2d(x, 3, 2)
+            x = F.conv2d(x, t[name + ".weight"], t[name + ".bias"],
+                         stride=stride, padding=pad)
+            x = F.relu(x)
+            taps.append(x)
+        return taps
+
+    f0, f1 = feats(torch.from_numpy(x0_nchw)), feats(torch.from_numpy(x1_nchw))
+    total = 0.0
+    for i, (a, b) in enumerate(zip(f0, f1)):
+        a = a / torch.sqrt((a * a).sum(1, keepdim=True) + 1e-10)
+        b = b / torch.sqrt((b * b).sum(1, keepdim=True) + 1e-10)
+        d = F.conv2d((a - b) ** 2, t[f"lin{i}.model.1.weight"])
+        total = total + d.mean((1, 2, 3))
+    return total.numpy()
+
+
+class TestLPIPS:
+    def test_matches_torch_forward(self):
+        rng = np.random.default_rng(2)
+        sd = _torch_lpips_sd(rng)
+        variables = convert_lpips_alex(sd)
+        x0 = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        x1 = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(jax.jit(LPIPS().apply)(
+            variables, jnp.asarray(x0), jnp.asarray(x1)))
+        want = _torch_lpips_forward(sd, x0.transpose(0, 3, 1, 2),
+                                    x1.transpose(0, 3, 1, 2))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+    def test_torchvision_key_style_trunk(self):
+        rng = np.random.default_rng(3)
+        sd = _torch_lpips_sd(rng)
+        tv = {}
+        for i, fi in enumerate((0, 3, 6, 8, 10)):
+            tv[f"features.{fi}.weight"] = sd[f"net.slice{i + 1}.{fi}.weight"]
+            tv[f"features.{fi}.bias"] = sd[f"net.slice{i + 1}.{fi}.bias"]
+        v = convert_lpips_alex(tv)
+        assert set(v["params"]["net"]) == {f"conv{i}" for i in range(5)}
+
+
+class TestMetricFunctions:
+    def test_lpips_identical_images_is_zero(self):
+        rng = np.random.default_rng(4)
+        variables = convert_lpips_alex(_torch_lpips_sd(rng))
+        img = rng.integers(0, 255, (64, 64, 3)).astype(np.uint8)
+        assert calculate_lpips(img, img, variables) == pytest.approx(0.0,
+                                                                     abs=1e-6)
+
+    def test_clipscore_identical_images_is_one(self):
+        rng = np.random.default_rng(5)
+        sd = _torch_clip_visual_sd(rng)
+        model = CLIPVisionTransformer(image_size=IMG, patch_size=PATCH,
+                                      width=WIDTH, layers=LAYERS, heads=HEADS,
+                                      output_dim=32)
+        variables = convert_clip_visual(sd, layers=LAYERS)
+        img = rng.integers(0, 255, (40, 40, 3)).astype(np.uint8)
+        score = calculate_clipscore(img, img, variables, model=model)
+        assert score == pytest.approx(1.0, abs=1e-5)
+
+    def test_clipscore_grayscale_is_channel_repeated(self):
+        rng = np.random.default_rng(6)
+        sd = _torch_clip_visual_sd(rng)
+        model = CLIPVisionTransformer(image_size=IMG, patch_size=PATCH,
+                                      width=WIDTH, layers=LAYERS, heads=HEADS,
+                                      output_dim=32)
+        variables = convert_clip_visual(sd, layers=LAYERS)
+        g = rng.integers(0, 255, (IMG, IMG)).astype(np.uint8)
+        s1 = calculate_clipscore(g, g[..., None], variables, model=model)
+        rgb = np.repeat(g[..., None], 3, -1)
+        s2 = calculate_clipscore(rgb, rgb, variables, model=model)
+        assert s1 == pytest.approx(s2, abs=1e-6)
+
+    def test_missing_weights_raises_helpfully(self):
+        img = np.zeros((24, 24, 3), np.uint8)
+        with pytest.raises(ValueError, match="convert_clip_visual"):
+            calculate_clipscore(img, img)
+        with pytest.raises(ValueError, match="convert_lpips_alex"):
+            calculate_lpips(img, img)
+        with pytest.raises(ValueError, match="alex"):
+            calculate_lpips(img, img, {}, net="vgg")
