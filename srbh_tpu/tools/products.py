@@ -1,0 +1,384 @@
+"""Height-product comparison & sample-selection toolbox.
+
+Capability twins of the long tail of ``demo_preprocess_height_v2.py`` —
+the CNBH-10m / CBRA-2020 product processing, per-grid validity comparison,
+sample clipping/selection, and the mosaic/extent utilities they rest on —
+implemented over the framework's own GeoTIFF/shapefile codecs (no GDAL):
+
+* :class:`VirtualMosaic`            — BuildVRT + per-window gdal.Warp
+  (demo_preprocess_…py:586-605 ``merge_alltif`` + the ``gdal.Warp('tmp.vrt',
+  outputBounds=…)`` pattern used throughout): a lazy union of rasters read
+  through fixed-resolution windows with nearest resampling.
+* :func:`raster_extent_shapefile`   — ``Raster_extent[_prj]`` (:309-427):
+  one bbox polygon per raster with location/year attributes.
+* :func:`add_field_by_expression`   — ``addField_byExpression`` (:122-153):
+  vector field calculator (default: elevation -> floor number / 3).
+* :func:`zonal_stats`               — ``zonal_stats`` (:450-571): per-feature
+  envelope sum/count written back into the DBF.
+* :func:`calculate_iou`             — (:732-737).
+* :func:`compare_grid_products`     — ``compare_twotiff_valid[_iou]``
+  (:740-1036): per valid grid cell, reference window vs product-mosaic
+  window; writes vrt_sum / vrt_count / absdiff (+ diou) and the isv2/3/4
+  validity cascade into the grid shapefile.
+* :func:`clip_valid_samples`        — ``clip_twotiff_valid`` (:1058-1139):
+  writes per-valid-cell sample GeoTIFF pairs named ``{city}_{FID}.tif``.
+* :func:`sample_height_rmse`        — ``cal_rmse`` (:1389-1406): the
+  CNBH-vs-reference sample RMSE with the exact masking recipe.
+* :func:`count_valid_samples`       — ``main_sample_stats`` (:1587-1610):
+  per-city valid-cell counts written to a ``num_valid`` CSV.
+* :func:`compare_height_products`   — the per-city IoU/RMSE/MAE/ME sweep the
+  reference runs piecemeal (``main_select_heightvalid`` + the comparison
+  loops), consolidated into one CSV-writing driver.
+* :func:`main_sample_selection`     — the end-to-end driver of
+  ``main_sample_selection`` (:1698-1753): fishgrid -> zonal validity ->
+  product comparison -> count.
+
+Everything here is host-side preparation (SURVEY.md L0); no TPU content.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from srbh_tpu.data.grid import (
+    count_fishgrid_valid,
+    fishgrid_stats,
+    write_fishgrid,
+)
+from srbh_tpu.data.shapefile import read_shapefile, update_dbf_fields
+from srbh_tpu.data.tiff import TiffReader, write_tiff
+
+
+class VirtualMosaic:
+    """A lazy union of same-CRS rasters, read through windows.
+
+    Twin of ``gdal.BuildVRT`` (merge_alltif) + the per-feature
+    ``gdal.Warp(format='VRT', outputBounds=[...], xRes=…, yRes=…)`` reads:
+    :meth:`read_window` samples the mosaic on a fixed-resolution grid over
+    the requested bounds with nearest resampling; pixels no source covers
+    get ``nodata``. Later rasters in the list win on overlap (VRT order).
+    """
+
+    def __init__(self, tif_paths: Sequence[str], nodata: float = 0.0,
+                 band: int = 0):
+        if not tif_paths:
+            raise ValueError("empty mosaic")
+        self.readers = [TiffReader(p) for p in tif_paths]
+        self.nodata = nodata
+        self.band = band
+
+    def read_window(self, bounds: Tuple[float, float, float, float],
+                    resolution: float, dtype=np.float64) -> np.ndarray:
+        minx, miny, maxx, maxy = bounds
+        w = int(round((maxx - minx) / resolution))
+        h = int(round((maxy - miny) / resolution))
+        out = np.full((h, w), self.nodata, dtype)
+        # target pixel centres (y runs top-down like a north-up geotransform)
+        cx = minx + (np.arange(w) + 0.5) * resolution
+        cy = maxy - (np.arange(h) + 0.5) * resolution
+        for r in self.readers:
+            gt = r.geotransform
+            px = np.floor((cx - gt[0]) / gt[1]).astype(np.int64)
+            py = np.floor((cy - gt[3]) / gt[5]).astype(np.int64)
+            okx = (px >= 0) & (px < r.width)
+            oky = (py >= 0) & (py < r.height)
+            if not (okx.any() and oky.any()):
+                continue
+            x0, x1 = int(px[okx].min()), int(px[okx].max())
+            y0, y1 = int(py[oky].min()), int(py[oky].max())
+            tile = r.read((x0, y0, x1 - x0 + 1, y1 - y0 + 1))[..., self.band]
+            sub = tile[np.ix_(py[oky] - y0, px[okx] - x0)]
+            out[np.ix_(oky, okx)] = sub.astype(dtype)
+        return out
+
+
+def raster_extent_shapefile(
+    filelist: Sequence[str], outfile: str,
+    loc_from_name: Optional[Callable[[str], str]] = None,
+    year: int = 2020,
+) -> List[dict]:
+    """One bbox polygon per raster, with ``location``/``year`` attributes
+    (Raster_extent, demo_preprocess_…py:309-358; the _prj variant's
+    reprojection is out of scope for the single-CRS codec — callers warp
+    off-device, as the reference itself does for cross-CRS products)."""
+    from srbh_tpu.data.shapefile import ShapeRecord, write_shapefile
+
+    loc_from_name = loc_from_name or (lambda stem: stem.split("_")[0])
+    records = []
+    rows = []
+    for f in filelist:
+        r = TiffReader(f)
+        gt = r.geotransform
+        x0, y0 = gt[0], gt[3]
+        x1, y1 = x0 + gt[1] * r.width, y0 + gt[5] * r.height
+        bounds = (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
+        loc = loc_from_name(Path(f).stem)
+        rec = ShapeRecord(bounds)
+        rec.attributes = {"location": loc, "year": year}
+        records.append(rec)
+        rows.append({"location": loc, "year": year, "bounds": bounds})
+    write_shapefile(outfile, records,
+                    [("location", "C", 32, 0), ("year", "N", 19, 0)])
+    return rows
+
+
+def add_field_by_expression(shp_file: str, new_field: str = "FloorNum",
+                            old_field: str = "elevation",
+                            fn: Callable[[float], float] = lambda v: v / 3):
+    """DBF field calculator (addField_byExpression, :122-153; default is the
+    reference's elevation -> floor-number divide-by-3)."""
+    records = read_shapefile(shp_file)
+    values = [int(fn(rec.attributes.get(old_field) or 0)) for rec in records]
+    update_dbf_fields(shp_file, [(new_field, "N", 19, 0)], [values])
+    return values
+
+
+def zonal_stats(shp_file: str, tif_file: str,
+                fieldname: Tuple[str, str] = ("sum", "count"),
+                threshold: float = 0.0):
+    """Per-feature envelope sum/count of raster pixels > threshold, written
+    into the DBF (zonal_stats, :450-571)."""
+    r = TiffReader(tif_file)
+    gt = r.geotransform
+    sums, counts = [], []
+    for rec in read_shapefile(shp_file):
+        minx, miny, maxx, maxy = rec.bounds
+        xoff = max(0, int((minx - gt[0]) / gt[1]))
+        yoff = max(0, int((gt[3] - maxy) / -gt[5]))
+        xcount = min(int((maxx - minx) / gt[1]), r.width - xoff)
+        ycount = min(int((maxy - miny) / -gt[5]), r.height - yoff)
+        data = r.read((xoff, yoff, xcount, ycount))[..., 0]
+        mask = data > threshold
+        sums.append(int(mask.sum()))
+        counts.append(int(mask.size))
+    update_dbf_fields(shp_file, [(fieldname[0], "N", 19, 0),
+                                 (fieldname[1], "N", 19, 0)], [sums, counts])
+    return sums, counts
+
+
+def calculate_iou(gt_mask: np.ndarray, pred_mask: np.ndarray) -> float:
+    """(demo_preprocess_…py:732-737)."""
+    overlap = (pred_mask * gt_mask).sum()
+    union = ((pred_mask + gt_mask) > 0).sum()
+    return float(overlap / union) if union else 0.0
+
+
+def compare_grid_products(
+    ref_tif: str, mosaic: VirtualMosaic, shp_file: str,
+    fieldname=("vrt_sum", "vrt_count", "absdiff"),
+    validname=("isv", "isv2", "isv3", "isv4"),
+    nresolution: float = 2.5,
+    condition=(0, 2000, 65536, 0.3),
+    use_iou: bool = False,
+):
+    """Per-grid-cell reference-vs-product comparison
+    (compare_twotiff_valid, :740-830; _iou variant, :832-936).
+
+    For every cell with ``isv > 0``: binarise the reference window
+    (pixel-offset read) and the product window (mosaic warp read) at
+    ``> condition[0]``; write ``vrt_sum``/``vrt_count``/``absdiff`` and the
+    validity cascade — isv2 = enough product pixels
+    (sum >= condition[1] and count >= condition[2]); isv3 = agreement
+    (diff-fraction, or 1-IoU when ``use_iou``, <= condition[3]);
+    isv4 = isv2 & isv3. ``diou`` (1 - IoU) is stored when ``use_iou``.
+    """
+    r = TiffReader(ref_tif)
+    gt = r.geotransform
+    records = read_shapefile(shp_file)
+    cols: Dict[str, list] = {k: [] for k in
+                             (*fieldname, *validname[1:], "diou")}
+    for rec in records:
+        if (rec.attributes.get(validname[0]) or 0) == 0:
+            for k in cols:
+                cols[k].append(0)
+            continue
+        minx, miny, maxx, maxy = rec.bounds
+        xoff = int((minx - gt[0]) / gt[1])
+        yoff = int((gt[3] - maxy) / -gt[5])
+        xcount = int((maxx - minx) / gt[1])
+        ycount = int((maxy - miny) / -gt[5])
+        d1 = r.read((max(0, xoff), max(0, yoff),
+                     min(xcount, r.width - max(0, xoff)),
+                     min(ycount, r.height - max(0, yoff))))[..., 0]
+        d1 = (d1 > condition[0]).astype(np.uint8)
+        d2 = mosaic.read_window((minx, miny, maxx, maxy), nresolution)
+        d2 = (d2 > condition[0]).astype(np.uint8)
+        isum, icount = int(d2.sum()), int(d2.size)
+        isv2 = 1 if (isum >= condition[1] and icount >= condition[2]) else 0
+        if d1.shape == d2.shape:
+            diff = int((d1 != d2).sum())
+            diou = 1.0 - calculate_iou(d1, d2)
+        else:
+            diff, diou = 65536, 1.0  # dimension mismatch: mark for deletion
+        isv3 = int((diou if use_iou else diff / icount) <= condition[3])
+        cols[fieldname[0]].append(isum)
+        cols[fieldname[1]].append(icount)
+        cols[fieldname[2]].append(diff)
+        cols[validname[1]].append(isv2)
+        cols[validname[2]].append(isv3)
+        cols[validname[3]].append(1 if (isv2 and isv3) else 0)
+        cols["diou"].append(round(diou, 6))
+    fields = [(k, "N", 19, 0) for k in (*fieldname, *validname[1:])]
+    values = [cols[k] for k in (*fieldname, *validname[1:])]
+    if use_iou:
+        fields.append(("diou", "N", 19, 6))
+        values.append(cols["diou"])
+    update_dbf_fields(shp_file, fields, values)
+    return cols
+
+
+def clip_valid_samples(ref_tif: str, mosaic: VirtualMosaic, shp_file: str,
+                       respath: str, subdir=("bh", "cbra"),
+                       validname: str = "isv4", savename: str = "FID",
+                       nresolution: float = 2.5) -> List[str]:
+    """Write per-valid-cell GeoTIFF pairs ``{city}_{FID}.tif`` under
+    ``respath/{subdir}`` (clip_twotiff_valid, :1058-1139)."""
+    citycode = os.path.basename(shp_file).split("_")[0]
+    for d in subdir:
+        os.makedirs(os.path.join(respath, d), exist_ok=True)
+    r = TiffReader(ref_tif)
+    gt = r.geotransform
+    written = []
+    for i, rec in enumerate(read_shapefile(shp_file)):
+        if (rec.attributes.get(validname) or 0) == 0:
+            continue
+        fid = rec.attributes.get(savename, i)
+        basename = f"{citycode}_{fid}.tif"
+        minx, miny, maxx, maxy = rec.bounds
+        xoff = int((minx - gt[0]) / gt[1])
+        yoff = int((gt[3] - maxy) / -gt[5])
+        xcount = int((maxx - minx) / gt[1])
+        ycount = int((maxy - miny) / -gt[5])
+        d1 = r.read((max(0, xoff), max(0, yoff),
+                     min(xcount, r.width - max(0, xoff)),
+                     min(ycount, r.height - max(0, yoff))))[..., 0]
+        cell_gt = (minx, gt[1], 0.0, maxy, 0.0, gt[5])
+        p1 = os.path.join(respath, subdir[0], basename)
+        write_tiff(p1, d1, geotransform=cell_gt, compress="PACKBITS")
+        d2 = mosaic.read_window((minx, miny, maxx, maxy), nresolution)
+        cell_gt2 = (minx, nresolution, 0.0, maxy, 0.0, -nresolution)
+        p2 = os.path.join(respath, subdir[1], basename)
+        write_tiff(p2, d2.astype(d1.dtype), geotransform=cell_gt2,
+                   compress="PACKBITS")
+        written += [p1, p2]
+    return written
+
+
+def sample_height_rmse(cbra_path: str, cnbh_path: str, bh_path: str,
+                       iname: str) -> float:
+    """CNBH-vs-reference sample RMSE with the exact recipe of ``cal_rmse``
+    (:1389-1406): CNBH nan->0, nearest-resize to 256; CBRA 255->1 mask;
+    reference uint heights with the (0,2] -> 3-floor clamp, x3 m/floor;
+    RMSE over the nonzero masked differences."""
+    cnbh = TiffReader(os.path.join(cnbh_path, iname)).read()[..., 0]
+    cnbh = np.nan_to_num(cnbh.astype(np.float64))
+    cnbh = cv2.resize(cnbh, (256, 256), interpolation=cv2.INTER_NEAREST)
+    cbra = TiffReader(os.path.join(cbra_path, iname)).read()[..., 0].copy()
+    cbra[cbra == 255] = 1
+    bh = TiffReader(os.path.join(bh_path, iname)).read()[..., 0].copy()
+    bh[(bh <= 2) & (bh > 0)] = 3
+    bh = bh.astype(np.float64) * 3
+    diff = (cnbh * cbra - bh).ravel()
+    diff = diff[diff != 0]
+    return float(np.sqrt((diff ** 2).mean())) if diff.size else 0.0
+
+
+def count_valid_samples(shp_files: Sequence[str], out_csv: Optional[str] = None,
+                        fieldname: str = "isv4") -> Dict[str, int]:
+    """Per-city valid-cell counts, optionally written as the reference's
+    ``num_valid`` CSV (main_sample_stats, :1587-1610)."""
+    counts = {}
+    for f in shp_files:
+        city = os.path.basename(f).split("_")[0]
+        counts[city] = count_fishgrid_valid(f, fieldname)
+    if out_csv:
+        with open(out_csv, "w", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(["", "num_valid"])
+            for city, n in counts.items():
+                w.writerow([city, n])
+    return counts
+
+
+def compare_height_products(city_pairs: Dict[str, Tuple[str, str]],
+                            out_csv: str, threshold: float = 0.0,
+                            resolution: Optional[float] = None) -> List[dict]:
+    """Per-city product sweep: IoU of the building masks + RMSE/MAE/ME of
+    heights over the mask union, one CSV row per city plus an ``all`` row.
+
+    Consolidates the reference's piecemeal comparison drivers
+    (cal_rmse/calculate_iou + the per-city loops of main_proc_CNBH10m /
+    main_select_heightvalid) into one artifact. ``city_pairs`` maps city ->
+    (raster_a, raster_b); rasters are regridded to ``raster_a``'s grid
+    (nearest) when shapes differ.
+    """
+    rows = []
+    all_sq, all_abs, all_me, all_n = 0.0, 0.0, 0.0, 0
+    all_inter = all_union = 0
+    for city, (a_tif, b_tif) in city_pairs.items():
+        a = TiffReader(a_tif).read()[..., 0].astype(np.float64)
+        b = TiffReader(b_tif).read()[..., 0].astype(np.float64)
+        if a.shape != b.shape:
+            b = cv2.resize(b, (a.shape[1], a.shape[0]),
+                           interpolation=cv2.INTER_NEAREST)
+        ma, mb = a > threshold, b > threshold
+        inter, union = int((ma & mb).sum()), int((ma | mb).sum())
+        diff = (a - b)[ma | mb]
+        n = diff.size
+        rows.append({
+            "city": city,
+            "iou": round(inter / union, 6) if union else 0.0,
+            "rmse": round(float(np.sqrt((diff ** 2).mean())), 6) if n else 0.0,
+            "mae": round(float(np.abs(diff).mean()), 6) if n else 0.0,
+            "me": round(float(diff.mean()), 6) if n else 0.0,
+            "count": n,
+        })
+        all_sq += float((diff ** 2).sum())
+        all_abs += float(np.abs(diff).sum())
+        all_me += float(diff.sum())
+        all_n += n
+        all_inter += inter
+        all_union += union
+    rows.append({
+        "city": "all",
+        "iou": round(all_inter / all_union, 6) if all_union else 0.0,
+        "rmse": round(float(np.sqrt(all_sq / all_n)), 6) if all_n else 0.0,
+        "mae": round(all_abs / all_n, 6) if all_n else 0.0,
+        "me": round(all_me / all_n, 6) if all_n else 0.0,
+        "count": all_n,
+    })
+    with open(out_csv, "w", newline="") as fh:
+        w = csv.DictWriter(fh, fieldnames=["city", "iou", "rmse", "mae",
+                                           "me", "count"])
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
+def main_sample_selection(city_tifs: Sequence[str], product_tifs: Sequence[str],
+                          window_size: int = 256,
+                          grid_condition=(0, 4000, 65536),
+                          compare_condition=(0, 4000, 65536, 0.65),
+                          nresolution: float = 2.5,
+                          out_csv: Optional[str] = None) -> Dict[str, int]:
+    """End-to-end sample selection (main_sample_selection, :1698-1753):
+    per city raster, build/refresh the fishgrid, tag zonal validity (isv),
+    compare against the product mosaic (isv2/3/4 with the reference's
+    IoU<=0.65 rule), then count the surviving samples."""
+    mosaic = VirtualMosaic(list(product_tifs))
+    shp_files = []
+    for tif in city_tifs:
+        shp = tif[:-4] + "_grid.shp"
+        if not os.path.exists(shp):
+            write_fishgrid(tif, window_size=window_size, offset=window_size)
+        fishgrid_stats(tif, shp, fieldname=("sum", "count", "isv"),
+                       condition=grid_condition)
+        compare_grid_products(tif, mosaic, shp, nresolution=nresolution,
+                              condition=compare_condition, use_iou=True)
+        shp_files.append(shp)
+    return count_valid_samples(shp_files, out_csv)
