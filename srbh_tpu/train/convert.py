@@ -187,31 +187,25 @@ def convert_hrfuse_residual(sd: Mapping, prefix: str) -> Tuple[dict, dict]:
     return params, stats
 
 
-def convert_height_model(sd: Mapping, isaggre: bool = True) -> dict:
-    """SRRegressClsFeature (mymodels.py:233-337): smp EfficientNet encoder +
-    two UnetDecoders + hrfeat/reg/seg heads (+ aggre conv).
-
-    Encoder mapping (efficientnet-pytorch naming): ``encoder._conv_stem``,
-    ``encoder._bn0``, ``encoder._blocks.N.{_expand_conv,_depthwise_conv,
-    _se_reduce,_se_expand,_project_conv,_bn0,_bn1,_bn2}``; smp's unused
-    ``_conv_head``/``_bn1`` head weights are dropped.
-    """
-    params: dict = {}
-    stats: dict = {}
-
-    # ---- encoder
-    enc_p: dict = {"stem_conv": _conv(sd, "encoder._conv_stem")}
-    enc_s: dict = {}
-    bp, bs = _bn(sd, "encoder._bn0")
-    enc_p["stem_bn"], enc_s["stem_bn"] = bp, bs
-    # stage/block layout for b4 (efficientnet.py): repeats per stage
+def _convert_encoder(sd: Mapping, prefix: str = "",
+                     encoder_name: str = "efficientnet-b4"
+                     ) -> Tuple[dict, dict]:
+    """EfficientNet encoder mapping (efficientnet-pytorch naming):
+    ``{prefix}_conv_stem``, ``{prefix}_bn0``, ``{prefix}_blocks.N.
+    {_expand_conv,_depthwise_conv,_se_reduce,_se_expand,_project_conv,
+    _bn0,_bn1,_bn2}``; the classification head (``_conv_head``/``_bn1``/
+    ``_fc``) is dropped — the U-Net consumes stage features only."""
     from srbh_tpu.models.efficientnet import _B0_STAGES, SCALING, round_repeats
 
-    width, depth, _ = SCALING["efficientnet-b4"]
+    enc_p: dict = {"stem_conv": _conv(sd, f"{prefix}_conv_stem")}
+    enc_s: dict = {}
+    bp, bs = _bn(sd, f"{prefix}_bn0")
+    enc_p["stem_bn"], enc_s["stem_bn"] = bp, bs
+    _width, depth, _ = SCALING[encoder_name]
     tn = 0
     for si, (expand, _k, _s, _c, base_r) in enumerate(_B0_STAGES, 1):
         for bi in range(round_repeats(base_r, depth)):
-            t = f"encoder._blocks.{tn}"
+            t = f"{prefix}_blocks.{tn}"
             blk_p: dict = {}
             blk_s: dict = {}
             if expand != 1:
@@ -229,7 +223,57 @@ def convert_height_model(sd: Mapping, isaggre: bool = True) -> dict:
             enc_p[f"blocks_{si}_{bi}"] = blk_p
             enc_s[f"blocks_{si}_{bi}"] = blk_s
             tn += 1
-    params["encoder"], stats["encoder"] = enc_p, enc_s
+    return enc_p, enc_s
+
+
+def convert_efficientnet_imagenet(sd: Mapping,
+                                  encoder_name: str = "efficientnet-b4",
+                                  in_channels: Optional[int] = None) -> dict:
+    """Raw efficientnet-pytorch ImageNet ``state_dict`` -> EfficientNetEncoder
+    variables — the reference's ``encoder_weights="imagenet"`` init
+    (mymodels.py:242-243, smp get_encoder).
+
+    Acquisition (off-device, zero egress here):
+    ``EfficientNet.from_pretrained('efficientnet-b4').state_dict()`` ->
+    ``torch.save`` -> convert with this function. When ``in_channels``
+    differs from the checkpoint's 3 (the height model uses 8), the stem conv
+    is widened by cycling the RGB kernels and rescaling by 3/in_channels —
+    smp's ``patch_first_conv`` policy for in_channels > 3.
+    """
+    enc_p, enc_s = _convert_encoder(sd, "", encoder_name)
+    stem = enc_p["stem_conv"]["kernel"]  # HWIO, I == 3
+    if in_channels and in_channels != stem.shape[2]:
+        reps = [stem[:, :, i % stem.shape[2]: i % stem.shape[2] + 1, :]
+                for i in range(in_channels)]
+        enc_p["stem_conv"]["kernel"] = (
+            np.concatenate(reps, axis=2) * (stem.shape[2] / in_channels))
+    return {"params": enc_p, "batch_stats": enc_s}
+
+
+def load_imagenet_encoder(variables: Mapping, sd: Mapping,
+                          encoder_name: str = "efficientnet-b4") -> dict:
+    """Graft ImageNet encoder weights into freshly-initialised height-model
+    variables, adapting the stem to the model's input channel count."""
+    in_ch = variables["params"]["encoder"]["stem_conv"]["kernel"].shape[2]
+    enc = convert_efficientnet_imagenet(sd, encoder_name, in_channels=in_ch)
+    params = dict(variables["params"])
+    stats = dict(variables.get("batch_stats", {}))
+    params["encoder"] = enc["params"]
+    stats["encoder"] = enc["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_height_model(sd: Mapping, isaggre: bool = True) -> dict:
+    """SRRegressClsFeature (mymodels.py:233-337): smp EfficientNet encoder +
+    two UnetDecoders + hrfeat/reg/seg heads (+ aggre conv).
+
+    Encoder mapping: see :func:`_convert_encoder`; smp's unused
+    ``_conv_head``/``_bn1`` head weights are dropped.
+    """
+    params: dict = {}
+    stats: dict = {}
+    params["encoder"], stats["encoder"] = _convert_encoder(
+        sd, "encoder.", "efficientnet-b4")
 
     # ---- decoders (smp UnetDecoder: blocks.N.conv1/conv2, each .0 conv .1 bn)
     for dname in ("decoder1", "decoder2"):

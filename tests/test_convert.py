@@ -260,3 +260,105 @@ def _smp_name_map():
         return None, None
 
     return mapping
+
+
+class TestImageNetEncoderConverter:
+    """Encoder-only ImageNet init (mymodels.py:242-243 encoder_weights=
+    'imagenet'): raw efficientnet-pytorch state_dict -> EfficientNetEncoder."""
+
+    def _fake_effnet_sd(self, variables, model_name):
+        from srbh_tpu.models.efficientnet import (
+            _B0_STAGES, SCALING, round_repeats)
+
+        p, s = variables["params"], variables["batch_stats"]
+        sd = {}
+
+        def put_conv(tname, tree):
+            sd[f"{tname}.weight"] = np.asarray(
+                tree["kernel"]).transpose(3, 2, 0, 1)
+            if "bias" in tree:
+                sd[f"{tname}.bias"] = np.asarray(tree["bias"])
+
+        def put_bn(tname, ptree, stree):
+            sd[f"{tname}.weight"] = np.asarray(ptree["scale"])
+            sd[f"{tname}.bias"] = np.asarray(ptree["bias"])
+            sd[f"{tname}.running_mean"] = np.asarray(stree["mean"])
+            sd[f"{tname}.running_var"] = np.asarray(stree["var"])
+
+        put_conv("_conv_stem", p["stem_conv"])
+        put_bn("_bn0", p["stem_bn"], s["stem_bn"])
+        _w, depth, _ = SCALING[model_name]
+        tn = 0
+        for si, (expand, _k, _s, _c, base_r) in enumerate(_B0_STAGES, 1):
+            for bi in range(round_repeats(base_r, depth)):
+                bp, bs = p[f"blocks_{si}_{bi}"], s[f"blocks_{si}_{bi}"]
+                t = f"_blocks.{tn}"
+                if expand != 1:
+                    put_conv(f"{t}._expand_conv", bp["expand_conv"])
+                    put_bn(f"{t}._bn0", bp["expand_bn"], bs["expand_bn"])
+                put_conv(f"{t}._depthwise_conv", bp["dw_conv"])
+                put_bn(f"{t}._bn1", bp["dw_bn"], bs["dw_bn"])
+                put_conv(f"{t}._se_reduce", bp["se_reduce"])
+                put_conv(f"{t}._se_expand", bp["se_expand"])
+                put_conv(f"{t}._project_conv", bp["project_conv"])
+                put_bn(f"{t}._bn2", bp["project_bn"], bs["project_bn"])
+                tn += 1
+        return sd
+
+    def test_numeric_roundtrip(self):
+        from srbh_tpu.models import EfficientNetEncoder
+
+        enc = EfficientNetEncoder(model_name="efficientnet-test")
+        x = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 1, (1, 32, 32, 3)).astype(np.float32))
+        v = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
+        sd = self._fake_effnet_sd(v, "efficientnet-test")
+        back = convert.convert_efficientnet_imagenet(
+            sd, "efficientnet-test")
+        a = jax.jit(lambda v, x: enc.apply(v, x))(v, x)
+        b = jax.jit(lambda v, x: enc.apply(v, x))(back, x)
+        for fa, fb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       atol=1e-6)
+
+    def test_stem_widening_to_8_channels(self):
+        from srbh_tpu.models import EfficientNetEncoder
+
+        enc = EfficientNetEncoder(model_name="efficientnet-test")
+        v = jax.jit(enc.init)(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 32, 32, 3)))
+        sd = self._fake_effnet_sd(v, "efficientnet-test")
+        wide = convert.convert_efficientnet_imagenet(
+            sd, "efficientnet-test", in_channels=8)
+        k = wide["params"]["stem_conv"]["kernel"]
+        assert k.shape[2] == 8
+        # smp patch_first_conv: cycled RGB kernels scaled by 3/8
+        k3 = v["params"]["stem_conv"]["kernel"]
+        np.testing.assert_allclose(k[:, :, 0, :],
+                                   np.asarray(k3[:, :, 0, :]) * (3 / 8),
+                                   atol=1e-7)
+        np.testing.assert_allclose(k[:, :, 5, :],
+                                   np.asarray(k3[:, :, 2, :]) * (3 / 8),
+                                   atol=1e-7)
+
+    def test_graft_into_height_model(self):
+        from srbh_tpu.models import EfficientNetEncoder, SRRegressClsFeature
+
+        m = SRRegressClsFeature(encoder_name="efficientnet-test",
+                                super_mid=8, isaggre=True, chans_build=7)
+        hv = jax.eval_shape(
+            lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 8)),
+                           jnp.zeros((1, 128, 128, 8))))
+        hv = jax.tree_util.tree_map(lambda a: jnp.zeros(a.shape, a.dtype), hv)
+        enc = EfficientNetEncoder(model_name="efficientnet-test")
+        ev = jax.jit(enc.init)(jax.random.PRNGKey(1),
+                               jnp.zeros((1, 32, 32, 3)))
+        sd = self._fake_effnet_sd(ev, "efficientnet-test")
+        out = convert.load_imagenet_encoder(hv, sd, "efficientnet-test")
+        # encoder subtree replaced (stem widened to 8ch), heads untouched
+        assert out["params"]["encoder"]["stem_conv"]["kernel"].shape[2] == 8
+        assert (jax.tree_util.tree_structure(out["params"])
+                == jax.tree_util.tree_structure(hv["params"]))
+        assert float(np.abs(
+            out["params"]["encoder"]["blocks_2_0"]["dw_conv"]["kernel"]).sum()
+            ) > 0
