@@ -8,7 +8,18 @@ hand-written collectives. A ``model`` axis is reserved so conv-channel
 sharding can be added without re-plumbing.
 
 Multi-host: call :func:`initialize_distributed` first (jax.distributed over
-DCN); each host then feeds its local shard of the global batch.
+DCN); each host then feeds its local shard of the global batch via
+``DataLoader(shard_index=process_index, num_shards=process_count)``.
+
+Verified recipe (tests/test_multihost.py runs it as 2 real CPU processes):
+
+    initialize_distributed("127.0.0.1:<port>", num_processes=N,
+                           process_id=<rank>)          # every process
+    mesh = make_mesh()              # global mesh over all processes' devices
+    loader = DataLoader(ds, shard_index=jax.process_index(),
+                        num_shards=jax.process_count())
+    # cross-process reductions: multihost_utils.process_allgather, or psum
+    # inside the pjit step — identical metrics to a single-process run.
 """
 from __future__ import annotations
 
@@ -22,10 +33,25 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def initialize_distributed(coordinator: Optional[str] = None):
-    """Multi-host bring-up over DCN; no-op for single-process runs."""
-    if jax.process_count() > 1 or coordinator:
-        jax.distributed.initialize(coordinator_address=coordinator)
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up over DCN; no-op for single-process runs.
+
+    Must run before anything that initialises the XLA backend (jax.devices,
+    any computation). With only ``coordinator`` given, the process count/rank
+    come from the cluster environment (TPU pods auto-detect); pass
+    ``num_processes`` + ``process_id`` explicitly for manual clusters
+    (e.g. the CPU two-process test harness)."""
+    if coordinator is None:
+        return
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialised
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
 
 
 def make_mesh(
