@@ -1,0 +1,1 @@
+"""Host-side toolboxes: preprocessing, product comparison, SwinIR harness."""

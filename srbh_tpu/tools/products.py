@@ -382,3 +382,57 @@ def main_sample_selection(city_tifs: Sequence[str], product_tifs: Sequence[str],
                               condition=compare_condition, use_iou=True)
         shp_files.append(shp)
     return count_valid_samples(shp_files, out_csv)
+
+
+def _cli(argv=None):
+    """CLI twin of the reference's __main__ driver blocks
+    (demo_preprocess_height_v2.py:1756-1785 and the main_* functions)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="srbh-products")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extent", help="bbox shapefile of rasters")
+    p.add_argument("tifs", nargs="+")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("select", help="end-to-end sample selection")
+    p.add_argument("--city-tifs", nargs="+", required=True)
+    p.add_argument("--product-tifs", nargs="+", required=True)
+    p.add_argument("--window", type=int, default=256)
+    p.add_argument("--out-csv", default="num_valid.csv")
+
+    p = sub.add_parser("compare", help="per-city product sweep CSV")
+    p.add_argument("--pairs", nargs="+", required=True,
+                   help="city=a.tif:b.tif ...")
+    p.add_argument("--out-csv", required=True)
+
+    p = sub.add_parser("clip-samples", help="clip valid sample pairs")
+    p.add_argument("--ref-tif", required=True)
+    p.add_argument("--product-tifs", nargs="+", required=True)
+    p.add_argument("--shp", required=True)
+    p.add_argument("--respath", required=True)
+
+    args = ap.parse_args(argv)
+    if args.cmd == "extent":
+        raster_extent_shapefile(args.tifs, args.out)
+    elif args.cmd == "select":
+        counts = main_sample_selection(args.city_tifs, args.product_tifs,
+                                       window_size=args.window,
+                                       out_csv=args.out_csv)
+        print(counts)
+    elif args.cmd == "compare":
+        pairs = {}
+        for spec in args.pairs:
+            city, rest = spec.split("=", 1)
+            a, b = rest.split(":", 1)
+            pairs[city] = (a, b)
+        rows = compare_height_products(pairs, args.out_csv)
+        print(rows[-1])
+    elif args.cmd == "clip-samples":
+        clip_valid_samples(args.ref_tif, VirtualMosaic(args.product_tifs),
+                           args.shp, args.respath)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _cli()
