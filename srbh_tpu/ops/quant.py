@@ -1,0 +1,62 @@
+"""Symmetric int8 quantization for MXU-rate serving.
+
+TPU v5e executes int8 x int8 -> int32 matmuls/convs at ~2x the bf16 MXU
+rate (394 TOPS vs 197 TFLOP/s). These helpers implement the standard
+symmetric scheme — per-output-channel weight scales, dynamic per-tensor
+activation scales — used by the opt-in quantized trunk
+(``RRDBNet(quantize=True)``). This is a framework extra with no reference
+counterpart (the reference serves fp32, SURVEY.md §6); it is OFF by
+default and clearly lossy: callers opt in for throughput and validate
+accuracy with :func:`srbh_tpu.ops.quant.feature_snr`-style checks
+(tests/test_quant.py).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray, axis: Tuple[int, ...] = (0, 1, 2)
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8: returns (w_q int8, scale f32).
+
+    ``axis`` are the reduction axes (all but the output-channel axis of an
+    HWIO kernel)."""
+    amax = jnp.max(jnp.abs(w), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    w_q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return w_q, scale.astype(jnp.float32)
+
+
+def quantize_activation(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic per-tensor symmetric int8 for activations."""
+    amax = jnp.max(jnp.abs(x))
+    scale = (jnp.maximum(amax, 1e-12) / 127.0).astype(jnp.float32)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale),
+                   -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def int8_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+              bias: Optional[jnp.ndarray] = None,
+              stride: int = 1, out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Quantize-on-the-fly 3x3-style conv: s8 x s8 -> s32 on the MXU,
+    dequantized with the combined scales (+ fp bias).
+
+    ``kernel`` is the float HWIO kernel; weight quantization happens inside
+    the jit so params stay single-source f32 (XLA hoists it across a scan
+    or caches it within one executable)."""
+    k = kernel.shape[0]
+    w_q, w_s = quantize_weight(kernel)
+    x_q, x_s = quantize_activation(x)
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=(stride, stride),
+        padding=((k // 2, k // 2), (k // 2, k // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    out = y.astype(jnp.float32) * (x_s * w_s.reshape(1, 1, 1, -1))
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)

@@ -100,6 +100,31 @@ class TestForwardShapes:
         params = m.init(jax.random.PRNGKey(0), x)
         assert m.apply(params, x).shape == (1, 16, 16, 3)
 
+    def test_fused_dense_block_matches_literal_form(self):
+        """The MXU-wide regrouped dense block (rrdbnet.py fused=True,
+        default) must be numerically identical to the literal
+        concat-then-narrow-conv translation of rrdbnet_arch.py:113-143,
+        with an identical parameter tree."""
+        import numpy as np
+
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.uniform(rng, (2, 12, 12, 3))
+        m_f = models.RRDBNet(num_block=2, num_feat=16, num_grow_ch=8)
+        m_u = models.RRDBNet(num_block=2, num_feat=16, num_grow_ch=8,
+                             fused=False)
+        p_f = jax.jit(m_f.init)(rng, x)
+        p_u = jax.jit(m_u.init)(rng, x)
+        assert (jax.tree_util.tree_structure(p_f)
+                == jax.tree_util.tree_structure(p_u))
+        for a, b in zip(jax.tree_util.tree_leaves(p_f),
+                        jax.tree_util.tree_leaves(p_u)):
+            assert a.shape == b.shape
+        for kwargs in ({}, {"features_only": True}):
+            y_f = jax.jit(lambda p, v: m_f.apply(p, v, **kwargs))(p_u, x)
+            y_u = jax.jit(lambda p, v: m_u.apply(p, v, **kwargs))(p_u, x)
+            np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_u),
+                                       rtol=1e-5, atol=1e-6)
+
     # Full-size (b4, 64x64) forwards are exercised on TPU by bench.py /
     # __graft_entry__.py; CPU tests use the 'efficientnet-test' config and
     # 32x32 tiles, jitted so the graph compiles once.
