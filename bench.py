@@ -15,10 +15,19 @@ Measurement notes
   synchronised by transferring a scalar that depends on every iteration.
   The same recipe measures 124 TFLOP/s on chained 4096^3 bf16 matmuls
   (63% of v5e peak), which is sane.
-* Batch 128 amortises the implicit-GEMM M dimension across the RRDBNet
-  trunk's narrow (32-channel) convs: 598 tiles/s vs 208 at batch 32 on the
-  same chip (the trunk's N=32 output channels cap MXU lane utilisation at
-  25%; larger batches recover the M-dim pipeline).
+* Batch size amortises the implicit-GEMM M dimension across the RRDBNet
+  trunk's narrow (32-channel) convs. Measured sweep (median-of-3 chains,
+  same chip): 208 t/s @ b32, 593 @ b128, 611-614 @ b256 (sweet spot),
+  608 @ b384, 568 @ b512. Breakdown at b256: frozen-SR trunk 351 ms/batch
+  (~100 TFLOP/s = 81% of the 124 TF/s chained-matmul calibration — near
+  the practical bf16 ceiling), height model + predictor post-processing
+  66 ms.
+* ``SRBH_BENCH_INT8=1`` switches the frozen trunk to the int8 mode
+  (srbh_tpu/ops/quant.py), reported with an ``_int8`` metric suffix.
+  MEASURED SLOWER on this stack (442 vs 614 t/s @ b256): XLA does not
+  lower s8xs8 convs to the doubled MXU rate here and the dynamic
+  activation-max reductions serialise. Kept only as a re-measurement
+  hook for future lowerings; the default metric is bf16/f32-faithful.
 * Baseline: the reference publishes no throughput numbers (BASELINE.md).
   ``vs_baseline`` uses a documented engineering estimate of the PyTorch
   reference on a V100-class GPU: ~155 GFLOP/tile (RRDBNet trunk 135 GF +
@@ -26,6 +35,7 @@ Measurement notes
   => ~30 tiles/sec.
 """
 import json
+import os
 import statistics
 import time
 
@@ -33,9 +43,10 @@ import jax
 import jax.numpy as jnp
 
 REFERENCE_TILES_PER_SEC_EST = 30.0
-BATCH = 128
-CHAIN_ITERS = 8
+BATCH = 256
+CHAIN_ITERS = 6
 REPEATS = 3  # median-of-N chains: robust to relay jitter
+INT8 = os.environ.get("SRBH_BENCH_INT8", "") == "1"
 
 
 def main():
@@ -43,7 +54,8 @@ def main():
 
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
-    sr = models.RRDBNet(num_block=23, num_feat=64, num_grow_ch=32, dtype=dtype)
+    sr = models.RRDBNet(num_block=23, num_feat=64, num_grow_ch=32, dtype=dtype,
+                        quantize=INT8)
     model = models.SRRegressClsFeature(
         encoder_name="efficientnet-b4", super_mid=16, isaggre=True,
         chans_build=7, dtype=dtype)
@@ -86,7 +98,8 @@ def main():
 
     tiles_per_sec = BATCH * CHAIN_ITERS / statistics.median(times)
     print(json.dumps({
-        "metric": "height_inference_tiles_per_sec_per_chip",
+        "metric": "height_inference_tiles_per_sec_per_chip"
+                  + ("_int8" if INT8 else ""),
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/sec",
         "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC_EST, 2),

@@ -1,14 +1,20 @@
 """Symmetric int8 quantization for MXU-rate serving.
 
-TPU v5e executes int8 x int8 -> int32 matmuls/convs at ~2x the bf16 MXU
+TPU v5e hardware executes int8 x int8 -> int32 matmuls at ~2x the bf16 MXU
 rate (394 TOPS vs 197 TFLOP/s). These helpers implement the standard
 symmetric scheme — per-output-channel weight scales, dynamic per-tensor
-activation scales — used by the opt-in quantized trunk
-(``RRDBNet(quantize=True)``). This is a framework extra with no reference
-counterpart (the reference serves fp32, SURVEY.md §6); it is OFF by
-default and clearly lossy: callers opt in for throughput and validate
-accuracy with :func:`srbh_tpu.ops.quant.feature_snr`-style checks
-(tests/test_quant.py).
+activation scales — behind the opt-in ``RRDBNet(quantize=True)`` trunk.
+
+MEASURED (real v5e chip, chained timing, b256): the int8 trunk runs the
+flagship pipeline at 442 t/s vs 614 t/s bf16 — through this
+jax/XLA lowering ``conv_general_dilated(s8, s8, preferred=s32)`` does NOT
+hit the doubled MXU rate, and the per-conv dynamic activation-max
+reductions serialise against the convs. Full-scale trunk SNR vs bf16 is
+30.4 dB (faithful), so the scheme is numerically sound — it is the
+lowering that doesn't pay. Kept OFF by default as a correctness-tested
+building block to re-measure when XLA/Mosaic int8 conv support improves;
+this is a framework extra with no reference counterpart (the reference
+serves fp32, SURVEY.md §6).
 """
 from __future__ import annotations
 
