@@ -38,6 +38,9 @@ class TrainConfig:
     batch_size: int = 16
     num_workers: int = 8
     encoder_name: str = "efficientnet-b4"
+    # "feature" = the proposed SRRegressClsFeature; "nosuper" = the no-SR
+    # ablation (mymodels.py:341-409, train.py commented experiment variants)
+    model_variant: str = "feature"
     super_mid: int = 16
     upscale: int = 4
     seed: int = 1337

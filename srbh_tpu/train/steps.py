@@ -47,14 +47,17 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
     base_rng = jax.random.PRNGKey(seed)
 
     def step(state: TrainState, sr_params, batch, lr):
-        sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
-                                features_only=True)
-        sr_fea = jax.lax.stop_gradient(sr_fea)
+        if sr_model is not None:
+            sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
+                                    features_only=True)
+            fea_args = (jax.lax.stop_gradient(sr_fea),)
+        else:  # nosuper ablation (mymodels.py:341-409): no HR feature input
+            fea_args = ()
 
         def loss_fn(params, log_vars):
             outs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"], sr_fea, train=True,
+                batch["image"], *fea_args, train=True,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(base_rng, state.step)},
             )
@@ -85,11 +88,13 @@ def make_eval_step(model, sr_model, rgb_idx=(0, 1, 2)):
     rgb = jnp.asarray(rgb_idx)
 
     def step(state: TrainState, sr_params, batch):
-        sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
-                                features_only=True)
+        fea_args = ()
+        if sr_model is not None:
+            fea_args = (sr_model.apply(sr_params, batch["image"][..., rgb],
+                                       features_only=True),)
         outs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["image"], sr_fea, train=False,
+            batch["image"], *fea_args, train=False,
         )
         height = outs[0][..., 0]
         mse = jnp.mean((height - batch["height"]) ** 2)
@@ -104,10 +109,13 @@ def make_predict_step(model, sr_model, rgb_idx=(0, 1, 2)):
     rgb = jnp.asarray(rgb_idx)
 
     def step(state: TrainState, sr_params, image):
-        sr_fea = sr_model.apply(sr_params, image[..., rgb], features_only=True)
+        fea_args = ()
+        if sr_model is not None:
+            fea_args = (sr_model.apply(sr_params, image[..., rgb],
+                                       features_only=True),)
         outs = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            image, sr_fea, train=False,
+            image, *fea_args, train=False,
         )
         return outs[0][..., 0], outs[1]
 

@@ -50,6 +50,12 @@ from srbh_tpu.train.steps import make_eval_step, make_predict_step, make_train_s
 
 def build_models(cfg: TrainConfig, dtype=None):
     dtype = dtype or (jnp.bfloat16 if cfg.bf16 else jnp.float32)
+    if getattr(cfg, "model_variant", "feature") == "nosuper":
+        # no-SR ablation (mymodels.py:341-409): no frozen feature extractor
+        model = models.SRRegressClsNosuper(
+            encoder_name=cfg.encoder_name, upscale=cfg.upscale,
+            isaggre=cfg.isaggre, chans_build=cfg.chans_build, dtype=dtype)
+        return model, None
     sr = models.RRDBNet(num_block=cfg.sr_num_block, num_feat=cfg.sr_num_feat,
                         num_grow_ch=cfg.sr_num_grow, dtype=dtype)
     model = models.SRRegressClsFeature(
@@ -63,6 +69,8 @@ def init_models(cfg: TrainConfig, model, sr, tile: Optional[int] = None):
     tile = tile or cfg.tile
     rng = jax.random.PRNGKey(cfg.seed)
     x = jnp.zeros((2, tile, tile, cfg.nchans))
+    if sr is None:  # nosuper ablation
+        return jax.jit(model.init)(rng, x), None
     sr_params = jax.jit(sr.init)(rng, x[..., : len(cfg.rgbseq)])
     fea = jnp.zeros((2, tile * 4, tile * 4, sr.num_feat))
     variables = jax.jit(model.init)(rng, x, fea)
@@ -139,9 +147,10 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
 
     model, sr = build_models(cfg)
     variables, sr_params = init_models(cfg, model, sr)
-    sr_params, loaded = load_sr_params(cfg, sr_params)
-    if not loaded:
-        print("=> no SR checkpoint found; using random frozen features")
+    if sr is not None:
+        sr_params, loaded = load_sr_params(cfg, sr_params)
+        if not loaded:
+            print("=> no SR checkpoint found; using random frozen features")
 
     state = TrainState.create(variables, n_log_vars=3, lr=cfg.lr,
                               weight_decay=cfg.weight_decay)
@@ -159,7 +168,8 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
     eval_step = make_eval_step(model, sr, cfg.rgbseq)
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
-        sr_params = pmesh.replicate(sr_params, mesh)
+        if sr_params is not None:
+            sr_params = pmesh.replicate(sr_params, mesh)
 
     def to_device(batch, isaggre):
         # batches arrive pre-placed (and pre-sharded on a mesh) by the
@@ -228,7 +238,8 @@ def main_test(cfg: TrainConfig, num_sample: int = 100, suffix: str = "",
                           preweight=cfg.preweight, shuffle=True)
     model, sr = build_models(cfg)
     variables, sr_params = init_models(cfg, model, sr)
-    sr_params, _ = load_sr_params(cfg, sr_params)
+    if sr is not None:
+        sr_params, _ = load_sr_params(cfg, sr_params)
 
     state = TrainState.create(variables, n_log_vars=3, lr=cfg.lr)
     resume = os.path.join(cfg.logdir, cfg.checkpoint)

@@ -161,6 +161,23 @@ class TestDataLoader:
         assert not set(pa) & set(pb)
         assert len(pa) + len(pb) == len(ds)
 
+    def test_device_put_prefetch(self, synth_root):
+        """The trainer's prefetch mode: batches arrive as committed device
+        arrays (optionally data-axis sharded), never host numpy."""
+        import jax
+        import jax.numpy as jnp
+        from srbh_tpu.parallel import mesh as pmesh
+
+        ds = TestDataset().make(synth_root)
+        mesh = pmesh.make_mesh(n_data=2)  # 6-sample dataset: batch 2 shards
+        dl = DataLoader(ds, batch_size=2, num_workers=2, drop_last=True,
+                        device_put=True, sharding=pmesh.batch_sharding(mesh))
+        batch = next(iter(dl))
+        assert isinstance(batch["image"], jax.Array)
+        assert batch["image"].sharding.spec == pmesh.P(pmesh.DATA_AXIS)
+        assert isinstance(batch["path"], list)  # strings stay on host
+        assert jnp.isfinite(batch["image"]).all()
+
 
 class TestDatalist:
     def test_generate_and_split_deterministic(self, tmp_path):

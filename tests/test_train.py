@@ -113,6 +113,83 @@ class TestTrainStep:
         assert build.shape == (BATCH, TILE * 4, TILE * 4, 7)
 
 
+class TestNosuperVariant:
+    def test_train_step_without_sr_model(self):
+        """The no-SR ablation (mymodels.py:341-409, cfg.model_variant=
+        'nosuper') trains through the same step factory with sr_model=None."""
+        rng = jax.random.PRNGKey(0)
+        model = models.SRRegressClsNosuper(
+            encoder_name="efficientnet-test", isaggre=True, chans_build=7)
+        x = jnp.zeros((BATCH, TILE, TILE, 8))
+        variables = jax.jit(model.init)(rng, x)
+        state = TrainState.create(variables, n_log_vars=3, lr=1e-3)
+        step = make_train_step(model, None)
+        batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+        state, m = step(state, None, batch, jnp.asarray(1e-3))
+        assert np.isfinite(float(m["loss"]))
+        assert np.isfinite(float(m["rmse"]))
+
+
+import flax.linen as fnn  # noqa: E402  (test-local probe module below)
+
+
+class _RngProbeModel(fnn.Module):
+    """Minimal height-model-interface module whose outputs depend on the
+    'dropout' rng — isolates the seed plumbing of make_train_step.
+
+    (The 'efficientnet-test' encoder never reaches a drop-connect branch —
+    depth 0.1 leaves no identity blocks — so the tiny pipeline can't observe
+    the rng; the full B4 does, see efficientnet.py MBConv.)"""
+
+    @fnn.compact
+    def __call__(self, x, train=False):
+        from srbh_tpu.ops.resize import upsample_nearest
+
+        h = fnn.Conv(8, (1, 1), name="c1")(x)
+        h = fnn.BatchNorm(use_running_average=not train, name="bn")(h)
+        h = fnn.Dropout(0.5, deterministic=not train)(h)
+        up = upsample_nearest(h, 4)
+        height = fnn.Conv(1, (1, 1), name="ch")(up)
+        build = fnn.Conv(7, (1, 1), name="cb")(up)
+        aggre = fnn.Conv(1, (1, 1), name="ca")(h)
+        return height, build, aggre
+
+
+class TestSeedThreading:
+    def test_seed_reaches_dropout_rng(self):
+        """cfg.seed roots the per-step dropout/drop-connect RNG (steps.py):
+        same seed => identical update, different seed => different update
+        (the round-1 hard-coded PRNGKey(0) regression)."""
+        model = _RngProbeModel()
+        x = jnp.ones((2, 8, 8, 8))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            x, train=True)
+        batch = {
+            "image": x,
+            "height": jnp.ones((2, 32, 32)),
+            "height_aggre": jnp.ones((2, 8, 8)),
+            "build": jnp.zeros((2, 32, 32), jnp.int32),
+            "weight": jnp.ones((2, 32, 32)),
+            "weight_aggre": jnp.ones((2, 8, 8)),
+        }
+        fresh = lambda: TrainState.create(
+            jax.tree_util.tree_map(jnp.asarray, jax.device_get(variables)),
+            n_log_vars=3, lr=1e-3)
+        step_a = make_train_step(model, None, seed=1)
+        step_b = make_train_step(model, None, seed=2)
+        sa1, _ = step_a(fresh(), None, batch, jnp.asarray(1e-3))
+        sa2, _ = step_a(fresh(), None, batch, jnp.asarray(1e-3))
+        sb, _ = step_b(fresh(), None, batch, jnp.asarray(1e-3))
+        la1 = jax.tree_util.tree_leaves(sa1.params)
+        la2 = jax.tree_util.tree_leaves(sa2.params)
+        lb = jax.tree_util.tree_leaves(sb.params)
+        for a, b in zip(la1, la2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(la1, lb))
+
+
 class TestDataParallel:
     def test_dp_matches_single_device(self, pipeline):
         """Same batch sharded over the 8-device mesh must produce the same
