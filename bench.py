@@ -47,6 +47,11 @@ BATCH = 256
 CHAIN_ITERS = 6
 REPEATS = 3  # median-of-N chains: robust to relay jitter
 INT8 = os.environ.get("SRBH_BENCH_INT8", "") == "1"
+# SRBH_BENCH_PACKED=1 measures the space-to-depth fusion stack (ops/s2d.py).
+# MEASURED SLOWER end-to-end (577 vs ~614 t/s @ b256): XLA's conv emitter
+# already handles the 16-channel convs well enough that the packed form's
+# 16/9 FLOP overhead + relayouts lose; kept as a re-measurement hook.
+PACKED = os.environ.get("SRBH_BENCH_PACKED", "") == "1"
 
 
 def main():
@@ -58,7 +63,8 @@ def main():
                         quantize=INT8)
     model = models.SRRegressClsFeature(
         encoder_name="efficientnet-b4", super_mid=16, isaggre=True,
-        chans_build=7, dtype=dtype)
+        chans_build=7, dtype=dtype,
+        compute_mode="packed" if PACKED else "literal")
 
     x = jax.random.uniform(rng, (BATCH, 64, 64, 8), jnp.float32)
     sr_params = jax.jit(sr.init)(rng, x[..., :3].astype(dtype))

@@ -15,6 +15,11 @@ if __name__ == "__main__":
 
     model, sr = build_models(args)
     variables, sr_params = init_models(args, model, sr)
+    if os.environ.get("SRBH_PACKED", "") == "1":
+        # space-to-depth compute mode (ops/s2d.py): same checkpoint layout
+        # and outputs; measured slower than literal on the current XLA stack
+        # (2x2 conv emitter runs at half the lane-bound rate) — opt-in hook.
+        model = model.clone(compute_mode="packed")
     sr_params, _ = load_sr_params(args, sr_params)
     payload = load_checkpoint(os.path.join(args.logdir, args.checkpoint))
     if payload is None:

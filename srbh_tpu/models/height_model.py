@@ -38,7 +38,14 @@ from srbh_tpu.models.unet_decoder import UnetDecoder
 
 
 class SRRegressClsFeature(nn.Module):
-    """The main model: frozen-SR-feature fused height + build prediction."""
+    """The main model: frozen-SR-feature fused height + build prediction.
+
+    ``compute_mode="packed"`` (inference only) runs the 256^2 fusion stack
+    (HRFeature + both HRFuseResidual heads) in the space-to-depth domain
+    (ops/s2d.py) — measured ~24 TFLOP/s in literal form because 16-channel
+    convs starve the MXU lanes.  Parameters and outputs are identical
+    (up to dtype rounding); checkpoints load into either mode.
+    """
 
     encoder_name: str = "efficientnet-b4"
     super_mid: int = 16
@@ -46,17 +53,20 @@ class SRRegressClsFeature(nn.Module):
     isaggre: bool = False
     chans_build: int = 2
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    compute_mode: str = "literal"  # or "packed" (eval-only fast path)
     dtype: Dtype = jnp.float32
 
     def setup(self):
+        packed = self.compute_mode == "packed"
         self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)
         self.decoder1 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.decoder2 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
-        self.hrfeat = HRFeature(self.super_mid, self.super_mid, dtype=self.dtype)
+        self.hrfeat = HRFeature(self.super_mid, self.super_mid,
+                                packed=packed, dtype=self.dtype)
         self.reg = HRFuseResidual(self.decoder_channels[-1], 1, self.upscale,
-                                  dtype=self.dtype)
+                                  packed=packed, dtype=self.dtype)
         self.seg = HRFuseResidual(self.decoder_channels[-1], self.chans_build,
-                                  self.upscale, dtype=self.dtype)
+                                  self.upscale, packed=packed, dtype=self.dtype)
         if self.isaggre:
             self.aggre_height = tconv(1, 3, dtype=self.dtype)
 

@@ -23,42 +23,73 @@ from srbh_tpu.models.layers import (
     ConvBNAct,
     Dtype,
     PixelShuffleUpsampler,
+    _PackedConv,
     tconv,
 )
+from srbh_tpu.ops import s2d
 
 
 class HRFeature(nn.Module):
-    """3-block ResNet adapter on the frozen SR features (SR/HRfuse.py:164-169)."""
+    """3-block ResNet adapter on the frozen SR features (SR/HRfuse.py:164-169).
+
+    ``packed=True`` (inference only): computes in the space-to-depth domain
+    (ops/s2d.py) — the 16-channel 256^2 chain is MXU-lane-starved in literal
+    form — and returns the parity-0 *packed* adapter output (consumers:
+    :class:`HRFuseResidual` with ``packed=True``).
+    """
 
     mid_chans: int = 64
     out_chans: int = 64
+    packed: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = BasicBlock(self.mid_chans, dtype=self.dtype, name="block0")(x, train)
-        x = BasicBlock(self.mid_chans, dtype=self.dtype, name="block1")(x, train)
-        x = BasicBlock(self.out_chans, dtype=self.dtype, name="block2")(x, train)
+        if self.packed:
+            x = s2d.pack(x)
+        kw = dict(dtype=self.dtype, packed=self.packed)
+        x = BasicBlock(self.mid_chans, name="block0", **kw)(x, train)
+        x = BasicBlock(self.mid_chans, name="block1", **kw)(x, train)
+        x = BasicBlock(self.out_chans, name="block2", **kw)(x, train)
         return x
 
 
 class HRFuseResidual(nn.Module):
-    """Upsample-then-fuse head with ResNet fusion (SR/HRfuse.py:173-190)."""
+    """Upsample-then-fuse head with ResNet fusion (SR/HRfuse.py:173-190).
+
+    ``packed=True`` (inference only): expects ``x_hr`` as a parity-0 packed
+    tensor (from ``HRFeature(packed=True)``), upsamples straight into the
+    packed domain, fuses there, and unpacks only the final small output.
+    Parameters are identical to the literal path.
+    """
 
     mid_chans: int = 16
     out_chans: int = 1
     upscale: int = 4
+    packed: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x_lr, x_hr, train: bool = False):
         lr_chans = x_lr.shape[-1]
         x_lr = PixelShuffleUpsampler(self.upscale, lr_chans, dtype=self.dtype,
+                                     packed_output=self.packed,
                                      name="upsampler")(x_lr)
         x = jnp.concatenate([x_lr, x_hr], axis=-1)
-        x = BasicBlock(self.mid_chans, dtype=self.dtype, name="fuse0")(x, train)
-        x = BasicBlock(self.mid_chans, dtype=self.dtype, name="fuse1")(x, train)
-        x = BasicBlock(self.mid_chans, dtype=self.dtype, name="fuse2")(x, train)
+        if self.packed:
+            hr_chans = x_hr.shape[-1] // 4
+            perm = s2d.concat_perm([lr_chans, hr_chans])
+            x = BasicBlock(self.mid_chans, dtype=self.dtype, packed=True,
+                           kin_perm=perm, name="fuse0")(x, train)
+        else:
+            x = BasicBlock(self.mid_chans, dtype=self.dtype, name="fuse0")(x, train)
+        kw = dict(dtype=self.dtype, packed=self.packed)
+        x = BasicBlock(self.mid_chans, name="fuse1", **kw)(x, train)
+        x = BasicBlock(self.mid_chans, name="fuse2", **kw)(x, train)
+        if self.packed:
+            out = _PackedConv(self.out_chans, 3, use_bias=True,
+                              dtype=self.dtype, name="conv_last")(x, 0)
+            return s2d.unpack(out, parity=1)
         return tconv(self.out_chans, 3, dtype=self.dtype, name="conv_last")(x)
 
 

@@ -15,8 +15,10 @@ import math
 from typing import Any, Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from srbh_tpu.ops import s2d
 from srbh_tpu.ops.shuffle import pixel_shuffle
 
 Dtype = Any
@@ -97,19 +99,88 @@ class ConvBNAct(nn.Module):
         return x
 
 
+class _PackedConv(nn.Module):
+    """Space-to-depth packed conv that declares its parameters with
+    ``nn.Conv``'s exact names/shapes/init, so literal and packed compute
+    paths share one checkpoint layout (see srbh_tpu/ops/s2d.py).
+
+    ``kernel_size`` 3 flips the packed parity (pass ``parity``); 1 is the
+    parity-preserving block-diagonal projection.
+    """
+
+    features: int
+    kernel_size: int = 3
+    use_bias: bool = False
+    kernel_init: Any = None
+    kin_perm: Any = None  # canonical->actual input-channel gather (s2d.concat_perm)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, parity: int = 0):
+        cin = xp.shape[-1] // 4
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init or torch_conv_default_init(),
+            (k, k, cin if self.kin_perm is None else len(self.kin_perm) // 4,
+             self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if k == 3:
+            return s2d.conv3x3_packed(xp, parity, kernel, bias,
+                                      dtype=self.dtype, kin_perm=self.kin_perm)
+        if k == 1:
+            return s2d.conv1x1_packed(xp, kernel, bias, dtype=self.dtype,
+                                      kin_perm=self.kin_perm)
+        raise ValueError(f"packed conv supports k in (1, 3), got {k}")
+
+
+class _PackedBNEval(nn.Module):
+    """Inference-mode BatchNorm on a packed tensor; mirrors ``nn.BatchNorm``'s
+    parameter/collection layout (params scale/bias, batch_stats mean/var)."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        c = xp.shape[-1] // 4
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(self.dtype)
+        add = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon)
+               ).astype(self.dtype)
+        return xp.astype(self.dtype) * s2d.tile_channel_param(mul) \
+            + s2d.tile_channel_param(add)
+
+
 class BasicBlock(nn.Module):
     """ResNet-v1 basic block, stride-1/2, with 1x1 projection shortcut.
 
     Mirrors SR/HRfuse.py:115-159 (conv3x3-BN-ReLU-conv3x3-BN + identity,
     projection when stride != 1 or channels change).
+
+    ``packed=True`` switches to the space-to-depth compute mode
+    (srbh_tpu/ops/s2d.py): input/output are parity-0 packed tensors with
+    4x channels and half spatial dims; parameters are identical to the
+    literal path (inference only — stride must be 1, train must be False).
     """
 
     planes: int
     stride: int = 1
     dtype: Dtype = jnp.float32
+    packed: bool = False
+    kin_perm: Any = None  # only used when packed: input is a concat of packs
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.packed:
+            if train or self.stride != 1:
+                raise ValueError("packed BasicBlock is inference-only, stride 1")
+            return self._packed_call(x)
         needs_proj = self.stride != 1 or x.shape[-1] != self.planes
         identity = x
         out = tconv(self.planes, 3, self.stride, use_bias=False,
@@ -128,6 +199,22 @@ class BasicBlock(nn.Module):
                                     dtype=self.dtype, name="down_bn")(identity)
         return nn.relu(out + identity)
 
+    def _packed_call(self, xp):
+        cin = (xp.shape[-1] if self.kin_perm is None else len(self.kin_perm)) // 4
+        needs_proj = cin != self.planes
+        out = _PackedConv(self.planes, 3, kin_perm=self.kin_perm,
+                          dtype=self.dtype, name="conv1")(xp, 0)
+        out = _PackedBNEval(dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = _PackedConv(self.planes, 3, dtype=self.dtype, name="conv2")(out, 1)
+        out = _PackedBNEval(dtype=self.dtype, name="bn2")(out)
+        identity = xp
+        if needs_proj:
+            identity = _PackedConv(self.planes, 1, kin_perm=self.kin_perm,
+                                   dtype=self.dtype, name="down_conv")(xp)
+            identity = _PackedBNEval(dtype=self.dtype, name="down_bn")(identity)
+        return nn.relu(out + identity)
+
 
 class PixelShuffleUpsampler(nn.Module):
     """Conv + depth-to-space ladder: x2 per octave for power-of-two scales,
@@ -135,21 +222,32 @@ class PixelShuffleUpsampler(nn.Module):
 
     Feature count is preserved; each step is a conv to ``4*n_feats`` (or
     ``9*n_feats``) followed by pixel shuffle — MXU-heavy conv, free reshuffle.
+
+    ``packed_output=True`` (power-of-two scales only) skips the final
+    shuffle and instead emits the parity-0 space-to-depth packing of the
+    full-resolution map (ops/s2d.py) via a static channel gather that XLA
+    folds into the conv — zero extra data movement for packed consumers.
     """
 
     scale: int
     n_feats: int
     use_bias: bool = True
+    packed_output: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         scale = self.scale
         if (scale & (scale - 1)) == 0:
+            last = int(math.log2(scale)) - 1
             for i in range(int(math.log2(scale))):
                 x = tconv(4 * self.n_feats, 3, use_bias=self.use_bias,
                           dtype=self.dtype, name=f"conv_{i}")(x)
+                if self.packed_output and i == last:
+                    return x[..., s2d.ps_to_pack_perm(self.n_feats)]
                 x = pixel_shuffle(x, 2)
+        elif self.packed_output:
+            raise NotImplementedError("packed_output needs a power-of-2 scale")
         elif scale == 3:
             x = tconv(9 * self.n_feats, 3, use_bias=self.use_bias,
                       dtype=self.dtype, name="conv_0")(x)

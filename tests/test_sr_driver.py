@@ -78,9 +78,12 @@ class TestSRDriver:
 
 class TestLearnedMetricsGate:
     def test_clear_errors(self):
+        """Without converted weights the learned metrics raise a ValueError
+        naming the converter to use (they are real models now — see
+        tests/test_learned_metrics.py for the compute path)."""
         from srbh_tpu.metrics.learned import calculate_clipscore, calculate_lpips
 
-        with pytest.raises((ModuleNotFoundError, NotImplementedError)):
+        with pytest.raises(ValueError, match="convert_clip_visual"):
             calculate_clipscore(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
-        with pytest.raises((ModuleNotFoundError, NotImplementedError)):
+        with pytest.raises(ValueError, match="convert_lpips"):
             calculate_lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
