@@ -1,0 +1,101 @@
+"""Training-step throughput bench for the flagship height model on one chip.
+
+Times the FULL fused train step — frozen RRDBNet-23 feature pass (no-grad),
+EfficientNet-B4 U-Net forward/backward, three adaptive losses, torch-Adam
+update (srbh_tpu/train/steps.py) — with the relay-honest recipe: N steps
+chained through the train-state carry inside one jit (the state update is a
+genuine data dependence, so no extra synthetic chaining is needed).
+
+Reference point: the PyTorch reference trains batch 16 on a single CUDA GPU
+(train.py:97); it publishes no throughput numbers (BASELINE.md), so the
+figure here is the TPU-native record to track across rounds.
+
+Measured sweep (one v5e chip, bf16, median of 3):
+226 t/s @ b64 (283 ms/step), **404 t/s @ b128 (316 ms/step, default)**,
+375 t/s @ b256 (683 ms/step).  At 404 t/s the reference's full training
+budget (45k tiles x 0.7 train split x 20 epochs) is ~26 minutes on ONE chip.
+
+Usage: python -m srbh_tpu.tools.train_bench [batch] [chain_steps]
+"""
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+REPEATS = 3
+
+
+def main(batch: int = 64, chain: int = 4):
+    from srbh_tpu import models
+    from srbh_tpu.train.state import TrainState
+    from srbh_tpu.train.steps import make_train_step
+
+    dtype = jnp.bfloat16
+    rng = jax.random.PRNGKey(0)
+    sr = models.RRDBNet(num_block=23, num_feat=64, num_grow_ch=32, dtype=dtype)
+    model = models.SRRegressClsFeature(
+        encoder_name="efficientnet-b4", super_mid=16, isaggre=True,
+        chans_build=7, dtype=dtype)
+
+    x = jax.random.uniform(rng, (batch, 64, 64, 8), jnp.float32)
+    sr_params = jax.jit(sr.init)(rng, x[..., :3].astype(dtype))
+    variables = jax.jit(model.init)(
+        rng, x.astype(dtype), jnp.zeros((batch, 256, 256, 64), dtype))
+    state = TrainState.create(variables, n_log_vars=3, lr=1e-3)
+
+    ks = jax.random.split(rng, 6)
+    batch_dict = {
+        "image": x,
+        "height": jax.random.uniform(ks[0], (batch, 256, 256)) * 30,
+        "height_aggre": jax.random.uniform(ks[1], (batch, 64, 64)) * 30,
+        "build": jax.random.randint(ks[2], (batch, 256, 256), 0, 7),
+        "weight": jnp.ones((batch, 256, 256)),
+        "weight_aggre": jnp.ones((batch, 64, 64)),
+    }
+    step = make_train_step(model, sr, isaggre=True, seed=1337)
+
+    @jax.jit
+    def chained(state, sr_params, batch_dict):
+        def body(i, carry):
+            state, _ = carry
+            return step(state, sr_params, batch_dict, jnp.float32(1e-3))
+        state, metrics = jax.lax.fori_loop(
+            0, chain, body, (state, {"loss": jnp.float32(0),
+                                     "rmse": jnp.float32(0),
+                                     "log_vars": state.log_vars}))
+        return state, metrics
+
+    state2, metrics = chained(state, sr_params, batch_dict)
+    loss = float(metrics["loss"])  # sync
+    assert loss == loss, "non-finite loss"
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        _, m = chained(state, sr_params, batch_dict)
+        float(m["loss"])
+        times.append(time.perf_counter() - t0)
+    ms = statistics.median(times) / chain * 1000
+    tiles = batch / (ms / 1000)
+    print(json.dumps({
+        "metric": "height_train_tiles_per_sec_per_chip",
+        "value": round(tiles, 2), "unit": "tiles/sec",
+        "batch": batch, "ms_per_step": round(ms, 1),
+        "loss": round(loss, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 128,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 4)
