@@ -152,6 +152,13 @@ def main(batch: int = 256, only=None):
         h, b = pk.apply(variables, lr, s2d.pack(x), False, method=run)
         return h.astype(jnp.float32).mean() + b.astype(jnp.float32).mean()
 
+    def heads_grouped(x, lr, variables):
+        from srbh_tpu.models.dual_head import dual_head_apply
+
+        h, b = dual_head_apply(variables["params"], variables["batch_stats"],
+                               lr, lr, x)
+        return h.astype(jnp.float32).mean() + b.astype(jnp.float32).mean()
+
     def full_packed(x, sr_params, variables):
         f = sr.apply(sr_params, x[..., :3], features_only=True)
         height, build, ag = pk.apply(variables, x, f, train=False)
@@ -172,6 +179,7 @@ def main(batch: int = 256, only=None):
         "full": (full, x8, sr_params, variables),
         "hrfeat_packed": (hrfeat_packed, fea, variables),
         "heads_packed": (heads_packed, hr16, dec16, variables),
+        "heads_grouped": (heads_grouped, hr16, dec16, variables),
         "full_packed": (full_packed, x8, sr_params, variables),
     }
 
