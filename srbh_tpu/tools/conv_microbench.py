@@ -8,6 +8,14 @@ fused trunk).  Ground truth for choosing between the literal 16-channel
 fusion stack, the space-to-depth packed path (ops/s2d.py), and Pallas.
 
 Usage: python -m srbh_tpu.tools.conv_microbench [case,case,...]
+
+Measured (real chip, b256, bf16): lit16 4.71 ms / 16.4 TF/s; g2c16 8.28 ms
+(2x lit16's work) / 18.7 TF/s true; g8c16 (batch->group repack, SAME work
+as lit16) 15.1 ms / 5.1 TF/s; g16c16 30.2 ms / 2.6 TF/s.  Conclusion:
+XLA's grouped-conv lowering DEGRADES with group count (block-diagonalised
+dense contraction), so packing 8 images' 16 channels into one 128-channel
+8-group conv is 3.2x SLOWER at equal work — lane underfill at 16 output
+channels is a hard floor here; do not re-try group packing.
 """
 from __future__ import annotations
 
@@ -65,7 +73,8 @@ def _time_conv(x_shape, k, padding, dtype=jnp.bfloat16, groups=1):
         assert s == s
     ms = statistics.median(ts) / CHAIN * 1000
     n = x_shape[0]
-    flops = 2 * n * oshape[1] * oshape[2] * k * k * c * c
+    # true FLOPs: each output channel contracts over c/groups inputs
+    flops = 2 * n * oshape[1] * oshape[2] * k * k * c * (c // groups)
     return ms, flops / (ms / 1000) / 1e12
 
 
@@ -87,6 +96,10 @@ CASES = {
     # the two 16-wide heads computed as one grouped conv (block-diagonal)
     "g2c16": ((B, 256, 256, 32), 3, ((1, 1), (1, 1)), jnp.bfloat16, 2),
     "g4c16": ((B, 256, 256, 64), 3, ((1, 1), (1, 1)), jnp.bfloat16, 4),
+    # batch->group repack: 8 images' 16 channels as one 128-ch 8-group conv.
+    # Work equals lit16 (B images x 16ch); compare ms directly.
+    "g8c16": ((B // 8, 256, 256, 128), 3, ((1, 1), (1, 1)), jnp.bfloat16, 8),
+    "g16c16": ((B // 16, 256, 256, 256), 3, ((1, 1), (1, 1)), jnp.bfloat16, 16),
 }
 
 
