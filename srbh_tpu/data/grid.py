@@ -85,6 +85,57 @@ def write_fishgrid(tif_path: str, window_size: int = 64, offset: int = 56) -> st
     return out
 
 
+def fishgrid_bounds_cells(xmin: float, xmax: float, ymin: float, ymax: float,
+                          gridwidth: float, gridheight: float
+                          ) -> List[Tuple[float, float, float, float]]:
+    """Generic non-overlapping fishnet over an extent (Fishgrid,
+    demo_preprocess_height_v2.py:157-224): column-major top->bottom cells;
+    the last row's bottom and last column's right edge are clamped to the
+    extent, matching the reference's ``max(ymin, …)``/``min(xmax, …)``."""
+    rows = math.ceil((ymax - ymin) / gridheight)
+    cols = math.ceil((xmax - xmin) / gridwidth)
+    cells = []
+    left, right = float(xmin), float(xmin) + gridwidth
+    for _c in range(cols):
+        top, bottom = float(ymax), float(ymax) - gridheight
+        for _r in range(rows):
+            cells.append((left, bottom, right, top))
+            top -= gridheight
+            bottom = max(float(ymin), bottom - gridheight)
+        left += gridwidth
+        right = min(float(xmax), right + gridwidth)
+    return cells
+
+
+def write_fishgrid_bounds(outfile: str, xmin: float, xmax: float,
+                          ymin: float, ymax: float, gridwidth: float,
+                          gridheight: float,
+                          prj_wkt: Optional[str] = None) -> str:
+    """Fishgrid (demo_preprocess_height_v2.py:157-224) writer."""
+    cells = fishgrid_bounds_cells(xmin, xmax, ymin, ymax,
+                                  gridwidth, gridheight)
+    write_shapefile(outfile, [ShapeRecord(c) for c in cells],
+                    prj_wkt=prj_wkt)
+    return outfile
+
+
+def write_fishgrid_tif(tif_path: str, window_size: int = 256,
+                       prj_wkt: Optional[str] = None) -> str:
+    """Fishgridnew (demo_preprocess_height_v2.py:227-306): non-overlapping
+    grid of ``int(window_size * xres)`` map units over the raster's extent,
+    written as ``<tif>_grid.shp`` (the reference truncates the cell size to
+    an integer — preserved)."""
+    r = TiffReader(tif_path)
+    gt = r.geotransform
+    xmin, ymax = gt[0], gt[3]
+    xmax = xmin + gt[1] * r.width
+    ymin = ymax + gt[5] * r.height
+    grid_size = float(int(window_size * gt[1]))
+    return write_fishgrid_bounds(tif_path[:-4] + "_grid.shp",
+                                 xmin, xmax, ymin, ymax,
+                                 grid_size, grid_size, prj_wkt)
+
+
 def fishgrid_stats(tif_file: str, shp_file: str,
                    fieldname=("sum", "count", "isv"),
                    condition=(0, 20, 4096)):

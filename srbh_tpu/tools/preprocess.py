@@ -67,6 +67,42 @@ def shp2tif(shp_path: str, ref_tif: str, out_tif: str,
     return out
 
 
+def shp_to_tiff(shp_file: str, output_tiff: str, attribute: str = "class",
+                nresolution: float = 2.5, dtype=np.uint8):
+    """Rasterise polygons onto a self-defined grid at ``nresolution``
+    (demo_preprocess_height_v2.py:27-70): the grid spans the layer extent
+    with geotransform ``(xmin, res, 0, ymax, 0, -res)``, nodata 0, and the
+    burn value comes from ``attribute``."""
+    recs = read_shapefile(shp_file)
+    if not recs:
+        raise ValueError(f"{shp_file}: no records")
+    xmin = min(r.bounds[0] for r in recs)
+    ymin = min(r.bounds[1] for r in recs)
+    xmax = max(r.bounds[2] for r in recs)
+    ymax = max(r.bounds[3] for r in recs)
+    w = int(abs((xmax - xmin) / nresolution))
+    h = int(abs((ymax - ymin) / nresolution))
+    canvas = np.zeros((h, w), np.float64)
+    inv = 1.0 / nresolution
+    for rec in recs:
+        value = rec.attributes.get(attribute, 0) or 0
+        if not rec.rings:
+            continue
+        polys = []
+        for ring in rec.rings:
+            px = (ring[:, 0] - xmin) * inv
+            py = (ymax - ring[:, 1]) * inv
+            polys.append(np.stack([px, py], -1).round().astype(np.int32))
+        mask = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(mask, polys, 1)
+        canvas[mask > 0] = float(value)
+    out = canvas.astype(dtype)
+    gt = (xmin, nresolution, 0.0, ymax, 0.0, -nresolution)
+    write_tiff(output_tiff, out, geotransform=gt, compress="DEFLATE",
+               nodata=0)
+    return out
+
+
 def clip_tiff_by_tiff(src_tif: str, extent_tif: str, out_tif: str,
                       compress: Optional[str] = "DEFLATE"):
     """Clip ``src_tif`` to ``extent_tif``'s bounds on the source grid."""

@@ -32,6 +32,12 @@ implemented over the framework's own GeoTIFF/shapefile codecs (no GDAL):
 * :func:`main_sample_selection`     — the end-to-end driver of
   ``main_sample_selection`` (:1698-1753): fishgrid -> zonal validity ->
   product comparison -> count.
+* :func:`warp_window`               — ``gdal.Warp(dstSRS=…)`` (clip_vrt,
+  :608-655): resample the mosaic onto a grid in another CRS via
+  :mod:`srbh_tpu.data.crs`.
+* :func:`clip_city_mosaic`          — ``clip_tiff_whole`` (:1317-1386):
+  tile selection by extent-index intersection + city-window mosaic write,
+  cross-CRS capable.
 
 Everything here is host-side preparation (SURVEY.md L0); no TPU content.
 """
@@ -96,6 +102,26 @@ class VirtualMosaic:
             out[np.ix_(oky, okx)] = sub.astype(dtype)
         return out
 
+    def sample(self, xs: np.ndarray, ys: np.ndarray,
+               dtype=np.float64) -> np.ndarray:
+        """Nearest-pixel values at scattered map coordinates (the warp
+        primitive). Later rasters win on overlap, like :meth:`read_window`."""
+        xs = np.asarray(xs, float)
+        ys = np.asarray(ys, float)
+        out = np.full(xs.shape, self.nodata, dtype)
+        for r in self.readers:
+            gt = r.geotransform
+            px = np.floor((xs - gt[0]) / gt[1]).astype(np.int64)
+            py = np.floor((ys - gt[3]) / gt[5]).astype(np.int64)
+            ok = (px >= 0) & (px < r.width) & (py >= 0) & (py < r.height)
+            if not ok.any():
+                continue
+            x0, x1 = int(px[ok].min()), int(px[ok].max())
+            y0, y1 = int(py[ok].min()), int(py[ok].max())
+            tile = r.read((x0, y0, x1 - x0 + 1, y1 - y0 + 1))[..., self.band]
+            out[ok] = tile[py[ok] - y0, px[ok] - x0].astype(dtype)
+        return out
+
 
 def raster_extent_shapefile(
     filelist: Sequence[str], outfile: str,
@@ -103,9 +129,10 @@ def raster_extent_shapefile(
     year: int = 2020,
 ) -> List[dict]:
     """One bbox polygon per raster, with ``location``/``year`` attributes
-    (Raster_extent, demo_preprocess_…py:309-358; the _prj variant's
-    reprojection is out of scope for the single-CRS codec — callers warp
-    off-device, as the reference itself does for cross-CRS products)."""
+    (Raster_extent, demo_preprocess_…py:309-358; for the _prj variant's
+    cross-CRS case, reproject query bounds with
+    :func:`srbh_tpu.data.crs.transform_bounds` — see
+    :func:`clip_city_mosaic`)."""
     from srbh_tpu.data.shapefile import ShapeRecord, write_shapefile
 
     loc_from_name = loc_from_name or (lambda stem: stem.split("_")[0])
@@ -384,6 +411,85 @@ def main_sample_selection(city_tifs: Sequence[str], product_tifs: Sequence[str],
     return count_valid_samples(shp_files, out_csv)
 
 
+def warp_window(mosaic: VirtualMosaic,
+                bounds: Tuple[float, float, float, float],
+                resolution: float, dst_crs=None, src_crs=None,
+                dtype=np.float64) -> np.ndarray:
+    """``gdal.Warp(outputBounds=…, xRes=…, dstSRS=…)`` twin (clip_vrt,
+    demo_preprocess_height_v2.py:608-655): sample the mosaic on a
+    ``dst_crs`` grid over ``bounds`` by inverse-mapping target pixel
+    centres into the mosaic's CRS (nearest). With either CRS omitted this
+    degrades to the same-CRS :meth:`VirtualMosaic.read_window`."""
+    if dst_crs is None or src_crs is None:
+        return mosaic.read_window(bounds, resolution, dtype)
+    from srbh_tpu.data import crs as _crs
+
+    minx, miny, maxx, maxy = bounds
+    w = int(round((maxx - minx) / resolution))
+    h = int(round((maxy - miny) / resolution))
+    cx = minx + (np.arange(w) + 0.5) * resolution
+    cy = maxy - (np.arange(h) + 0.5) * resolution
+    gx, gy = np.meshgrid(cx, cy)
+    sx, sy = _crs.transform(dst_crs, src_crs, gx.ravel(), gy.ravel())
+    return mosaic.sample(sx, sy, dtype).reshape(h, w)
+
+
+def _read_prj(shp_file: str) -> Optional[str]:
+    prj = shp_file[:-4] + ".prj"
+    if os.path.exists(prj):
+        return open(prj).read()
+    return None
+
+
+def clip_city_mosaic(query_shp: str, grid_shp: str, tif_dir: str,
+                     out_tif: str, suffix: str = "CNBH10m",
+                     nresolution: float = 10.0, nodata: float = 0.0,
+                     location_field: str = "location",
+                     dtype=np.float32) -> Optional[np.ndarray]:
+    """Per-city product mosaic clip (clip_tiff_whole,
+    demo_preprocess_height_v2.py:1317-1386): select the extent-index grid
+    tiles intersecting the query city's bounds, mosaic
+    ``{tif_dir}/{suffix}_{location}.tif``, and write ONE city-extent raster
+    at ``nresolution`` in the query's CRS — warping through
+    :mod:`srbh_tpu.data.crs` when the tile CRS differs (the reference's
+    gdal.Warp(dstSRS=query_srs) branch). Idempotent: returns None if
+    ``out_tif`` already exists, like the reference's early-return."""
+    if os.path.exists(out_tif):
+        return None
+    from srbh_tpu.data import crs as _crs
+
+    query = read_shapefile(query_shp)
+    if not query:
+        raise ValueError(f"{query_shp}: no records")
+    qb = (min(r.bounds[0] for r in query), min(r.bounds[1] for r in query),
+          max(r.bounds[2] for r in query), max(r.bounds[3] for r in query))
+    query_prj = _read_prj(query_shp)
+    grid_prj = _read_prj(grid_shp)
+    cross = (query_prj and grid_prj
+             and " ".join(query_prj.split()) != " ".join(grid_prj.split()))
+    gb = (_crs.transform_bounds(query_prj, grid_prj, qb) if cross else qb)
+
+    files = []
+    for rec in read_shapefile(grid_shp):
+        minx, miny, maxx, maxy = rec.bounds
+        if minx > gb[2] or maxx < gb[0] or miny > gb[3] or maxy < gb[1]:
+            continue
+        loc = str(rec.attributes.get(location_field, "") or "")
+        if loc.endswith(".tif"):
+            loc = loc[:-4]
+        files.append(os.path.join(tif_dir, f"{suffix}_{loc}.tif"))
+    if not files:
+        raise ValueError(f"{query_shp}: no {suffix} tiles intersect")
+    mosaic = VirtualMosaic(files, nodata=nodata)
+    data = warp_window(mosaic, qb, nresolution,
+                       dst_crs=query_prj if cross else None,
+                       src_crs=grid_prj if cross else None)
+    gt = (qb[0], nresolution, 0.0, qb[3], 0.0, -nresolution)
+    write_tiff(out_tif, data.astype(dtype), geotransform=gt,
+               compress="DEFLATE", nodata=nodata)
+    return data.astype(dtype)
+
+
 def _cli(argv=None):
     """CLI twin of the reference's __main__ driver blocks
     (demo_preprocess_height_v2.py:1756-1785 and the main_* functions)."""
@@ -413,6 +519,14 @@ def _cli(argv=None):
     p.add_argument("--shp", required=True)
     p.add_argument("--respath", required=True)
 
+    p = sub.add_parser("clip-city", help="city-extent product mosaic")
+    p.add_argument("--query-shp", required=True)
+    p.add_argument("--grid-shp", required=True)
+    p.add_argument("--tif-dir", required=True)
+    p.add_argument("--out-tif", required=True)
+    p.add_argument("--suffix", default="CNBH10m")
+    p.add_argument("--resolution", type=float, default=10.0)
+
     args = ap.parse_args(argv)
     if args.cmd == "extent":
         raster_extent_shapefile(args.tifs, args.out)
@@ -432,6 +546,10 @@ def _cli(argv=None):
     elif args.cmd == "clip-samples":
         clip_valid_samples(args.ref_tif, VirtualMosaic(args.product_tifs),
                            args.shp, args.respath)
+    elif args.cmd == "clip-city":
+        clip_city_mosaic(args.query_shp, args.grid_shp, args.tif_dir,
+                         args.out_tif, suffix=args.suffix,
+                         nresolution=args.resolution)
 
 
 if __name__ == "__main__":  # pragma: no cover

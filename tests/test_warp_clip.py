@@ -1,0 +1,186 @@
+"""Cross-CRS warp, city-mosaic clip, generic fishgrids, own-grid rasterise.
+
+Twins of demo_preprocess_height_v2.py's clip_vrt (:608-655),
+clip_tiff_whole (:1317-1386), Fishgrid/Fishgridnew (:157-306) and
+shp_to_tiff (:27-70), exercised on synthetic rasters/shapefiles.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from srbh_tpu.data import crs
+from srbh_tpu.data.grid import (
+    fishgrid_bounds_cells,
+    write_fishgrid_bounds,
+    write_fishgrid_tif,
+)
+from srbh_tpu.data.shapefile import ShapeRecord, read_shapefile, write_shapefile
+from srbh_tpu.data.tiff import TiffReader, write_tiff
+from srbh_tpu.tools import products as prod
+from srbh_tpu.tools.preprocess import shp_to_tiff
+
+WKT_UTM17N = (
+    'PROJCS["WGS 84 / UTM zone 17N",GEOGCS["WGS 84",DATUM["WGS_1984",'
+    'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+    'UNIT["degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],'
+    'PARAMETER["latitude_of_origin",0],PARAMETER["central_meridian",-81],'
+    'PARAMETER["scale_factor",0.9996],PARAMETER["false_easting",500000],'
+    'PARAMETER["false_northing",0],UNIT["metre",1]]')
+WKT_GEO = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
+           '298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]]')
+
+
+class TestFishgridBounds:
+    def test_exact_multiple(self):
+        cells = fishgrid_bounds_cells(0, 40, 0, 30, 10, 10)
+        assert len(cells) == 4 * 3
+        # column-major, top->bottom: first cell is top-left
+        assert cells[0] == (0, 20, 10, 30)
+        assert cells[1] == (0, 10, 10, 20)
+        assert cells[3] == (10, 20, 20, 30)
+
+    def test_boundary_clamp(self):
+        cells = fishgrid_bounds_cells(0, 25, 0, 25, 10, 10)
+        assert len(cells) == 9
+        # last row bottom clamps to ymin, last column right clamps to xmax
+        assert min(c[1] for c in cells) == 0
+        assert max(c[2] for c in cells) == 25
+        last = cells[-1]
+        assert last[2] == 25 and last[1] == 0
+
+    def test_writers(self, tmp_path):
+        out = str(tmp_path / "g.shp")
+        write_fishgrid_bounds(out, 0, 40, 0, 30, 10, 10, prj_wkt=WKT_UTM17N)
+        recs = read_shapefile(out)
+        assert len(recs) == 12
+        assert "UTM zone 17N" in open(out[:-4] + ".prj").read()
+
+        tif = str(tmp_path / "c.tif")
+        write_tiff(tif, np.zeros((100, 100), np.uint8),
+                   geotransform=(500000.0, 2.5, 0, 4830000.0, 0, -2.5))
+        shp = write_fishgrid_tif(tif, window_size=16)
+        recs = read_shapefile(shp)
+        # grid size truncates to int(16 * 2.5) = 40 m over a 250 m extent
+        w = recs[0].bounds[2] - recs[0].bounds[0]
+        assert w == 40.0
+        assert len(recs) == 7 * 7
+
+
+class TestShpToTiff:
+    def test_own_grid_rasterise(self, tmp_path):
+        shp = str(tmp_path / "b.shp")
+        r1 = ShapeRecord((0.0, 0.0, 10.0, 10.0), {"class": 3})
+        r2 = ShapeRecord((15.0, 5.0, 25.0, 20.0), {"class": 7})
+        write_shapefile(shp, [r1, r2], [("class", "N", 9, 0)])
+        out = str(tmp_path / "b.tif")
+        arr = shp_to_tiff(shp, out, attribute="class", nresolution=2.5)
+        r = TiffReader(out)
+        assert (r.width, r.height) == (10, 8)  # 25 x 20 m at 2.5 m
+        gt = r.geotransform
+        assert gt[0] == 0.0 and gt[3] == 20.0 and gt[1] == 2.5
+        assert arr.max() == 7 and 3 in np.unique(arr) and 0 in np.unique(arr)
+        # r1 occupies the bottom-left 4x4 pixel block
+        assert arr[-2, 1] == 3
+
+
+class TestWarpWindow:
+    def test_same_crs_passthrough(self, tmp_path):
+        a = np.arange(100, dtype=np.uint16).reshape(10, 10)
+        p = str(tmp_path / "a.tif")
+        write_tiff(p, a, geotransform=(0, 1, 0, 10, 0, -1))
+        m = prod.VirtualMosaic([p])
+        out = prod.warp_window(m, (0, 0, 10, 10), 1.0)
+        np.testing.assert_array_equal(out, a)
+
+    def test_cross_crs_gradient(self, tmp_path):
+        # source: 100x100 at 10 m in UTM 17N, value = row index
+        utm_gt = (500000.0, 10.0, 0.0, 4831000.0, 0.0, -10.0)
+        a = np.repeat(np.arange(100, dtype=np.float64)[:, None], 100, 1)
+        p = str(tmp_path / "u.tif")
+        write_tiff(p, a, geotransform=utm_gt)
+        m = prod.VirtualMosaic([p], nodata=-1)
+        # destination grid: geographic bbox strictly inside the raster
+        inner = (500200.0, 4830200.0, 500800.0, 4830800.0)
+        gb = crs.transform_bounds(WKT_UTM17N, WKT_GEO, inner)
+        res = (gb[2] - gb[0]) / 50.0
+        out = prod.warp_window(m, gb, res, dst_crs=WKT_GEO,
+                               src_crs=WKT_UTM17N)
+        assert (out >= 0).all()  # interior only, no nodata
+        # centre pixel maps back to the raster centre rows (~row 50)
+        cx, cy = (gb[0] + gb[2]) / 2, (gb[1] + gb[3]) / 2
+        ex, ey = crs.transform(WKT_GEO, WKT_UTM17N, cx, cy)
+        expect_row = int((utm_gt[3] - float(ey)) / 10.0)
+        got = out[out.shape[0] // 2, out.shape[1] // 2]
+        assert abs(got - expect_row) <= 1.0
+
+
+class TestClipCityMosaic:
+    def _tiles(self, tmp_path, prj=None):
+        # two adjacent 100x50 tiles at 10 m: values 1 and 2
+        gts = [(500000.0, 10.0, 0, 4831000.0, 0, -10.0),
+               (500500.0, 10.0, 0, 4831000.0, 0, -10.0)]
+        files = []
+        for i, gt in enumerate(gts):
+            p = str(tmp_path / f"CNBH10m_t{i}.tif")
+            write_tiff(p, np.full((100, 50), i + 1, np.float32),
+                       geotransform=gt)
+            files.append(p)
+        grid = str(tmp_path / "extent.shp")
+        prod.raster_extent_shapefile(files, grid,
+                                     loc_from_name=lambda s: s.split("_")[1])
+        if prj:
+            with open(grid[:-4] + ".prj", "w") as f:
+                f.write(prj)
+        return files, grid
+
+    def test_same_crs(self, tmp_path):
+        _, grid = self._tiles(tmp_path)
+        q = str(tmp_path / "city_q.shp")
+        write_shapefile(q, [ShapeRecord((500200.0, 4830200.0,
+                                         500800.0, 4830800.0))])
+        out = str(tmp_path / "city.tif")
+        data = prod.clip_city_mosaic(q, grid, str(tmp_path), out,
+                                     suffix="CNBH10m", nresolution=10.0)
+        assert data.shape == (60, 60)
+        assert set(np.unique(data)) == {1.0, 2.0}
+        assert data[0, 0] == 1.0 and data[0, -1] == 2.0
+        # idempotent skip, like the reference's early return
+        assert prod.clip_city_mosaic(q, grid, str(tmp_path), out) is None
+
+    def test_cross_crs(self, tmp_path):
+        _, grid = self._tiles(tmp_path, prj=WKT_UTM17N)
+        inner = (500200.0, 4830200.0, 500800.0, 4830800.0)
+        gb = crs.transform_bounds(WKT_UTM17N, WKT_GEO, inner)
+        q = str(tmp_path / "city_q.shp")
+        write_shapefile(q, [ShapeRecord(gb)], prj_wkt=WKT_GEO)
+        out = str(tmp_path / "city_geo.tif")
+        res = (gb[2] - gb[0]) / 64.0
+        data = prod.clip_city_mosaic(q, grid, str(tmp_path), out,
+                                     suffix="CNBH10m", nresolution=res)
+        assert data is not None and data.shape[1] == 64
+        assert set(np.unique(data)) == {1.0, 2.0}
+        # west half is tile 1, east half tile 2
+        assert data[data.shape[0] // 2, 2] == 1.0
+        assert data[data.shape[0] // 2, -3] == 2.0
+
+    def test_no_tiles_raises(self, tmp_path):
+        _, grid = self._tiles(tmp_path)
+        q = str(tmp_path / "far_q.shp")
+        write_shapefile(q, [ShapeRecord((900000.0, 100.0, 900100.0, 200.0))])
+        with pytest.raises(ValueError):
+            prod.clip_city_mosaic(q, grid, str(tmp_path),
+                                  str(tmp_path / "far.tif"))
+
+
+class TestMosaicSample:
+    def test_scattered_nearest(self, tmp_path):
+        a = np.arange(100, dtype=np.float64).reshape(10, 10)
+        p = str(tmp_path / "a.tif")
+        write_tiff(p, a, geotransform=(0, 1, 0, 10, 0, -1))
+        m = prod.VirtualMosaic([p], nodata=-9)
+        xs = np.array([0.5, 9.5, 5.5, -3.0])
+        ys = np.array([9.5, 0.5, 4.5, 5.0])
+        out = m.sample(xs, ys)
+        np.testing.assert_array_equal(out, [a[0, 0], a[9, 9], a[5, 5], -9])
