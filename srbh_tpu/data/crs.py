@@ -246,12 +246,60 @@ def epsg_from_geokeys(geo_keys: bytes, endian: str = "<") -> Optional[int]:
     return code
 
 
+def geokeys_for_epsg(code: int) -> bytes:
+    """GeoTIFF GeoKeyDirectory (tag 34735) payload declaring an EPSG CRS —
+    the writer-side twin of :func:`epsg_from_geokeys` (little-endian, like
+    every TIFF the codec writes)."""
+    code = int(code)
+    geographic = 4000 <= code < 5000
+    keys = [(1024, 0, 1, 2 if geographic else 1),  # GTModelType
+            (1025, 0, 1, 1),                       # GTRasterType: PixelIsArea
+            (2048 if geographic else 3072, 0, 1, code)]
+    vals = [1, 1, 0, len(keys)]
+    for k in keys:
+        vals.extend(k)
+    return struct.pack("<" + "H" * len(vals), *vals)
+
+
+_WKT_GEO_4326 = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                 '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                 'UNIT["degree",0.0174532925199433]]')
+
+
+def wkt_for_epsg(code: int) -> str:
+    """Canonical WKT1 for the supported EPSG codes (4326 and WGS84 UTM) —
+    enough for ``.prj`` sidecars that :func:`from_wkt` round-trips."""
+    code = int(code)
+    if code == 4326:
+        return _WKT_GEO_4326
+    if 32601 <= code <= 32660 or 32701 <= code <= 32760:
+        south = code > 32700
+        zone = code - (32700 if south else 32600)
+        return (
+            f'PROJCS["WGS 84 / UTM zone {zone}{"S" if south else "N"}",'
+            f'{_WKT_GEO_4326},PROJECTION["Transverse_Mercator"],'
+            f'PARAMETER["latitude_of_origin",0],'
+            f'PARAMETER["central_meridian",{6 * zone - 183}],'
+            f'PARAMETER["scale_factor",0.9996],'
+            f'PARAMETER["false_easting",500000],'
+            f'PARAMETER["false_northing",{10000000 if south else 0}],'
+            f'UNIT["metre",1]]')
+    raise ValueError(f"unsupported EPSG:{code}")
+
+
+def as_projection(p):
+    """Coerce WKT strings, EPSG ints, or projection objects to an object."""
+    if isinstance(p, str):
+        return from_wkt(p)
+    if isinstance(p, (int, np.integer)):
+        return from_epsg(p)
+    return p
+
+
 def transform(src, dst, x: ArrayLike, y: ArrayLike):
-    """Map coordinates from ``src`` to ``dst`` (objects or WKT strings)."""
-    if isinstance(src, str):
-        src = from_wkt(src)
-    if isinstance(dst, str):
-        dst = from_wkt(dst)
+    """Map coordinates from ``src`` to ``dst`` (objects, WKT, or EPSG)."""
+    src = as_projection(src)
+    dst = as_projection(dst)
     lon, lat = src.inverse(x, y)
     return dst.forward(lon, lat)
 

@@ -379,11 +379,14 @@ def write_tiff(
     nodata: Optional[float] = None,
     like: Optional[TiffInfo] = None,
     rows_per_strip: int = 256,
+    geo_keys: Optional[bytes] = None,
 ):
     """Write an (H, W) or (H, W, C) array as a striped chunky GeoTIFF.
 
     ``like`` carries projection GeoKeys verbatim from a source file
-    (the array2raster pattern, utils/preprocess.py:106-133).
+    (the array2raster pattern, utils/preprocess.py:106-133); ``geo_keys``
+    stamps an explicit GeoKeyDirectory instead (see
+    srbh_tpu.data.crs.geokeys_for_epsg) and wins over ``like``.
     """
     if array.ndim == 2:
         array = array[..., None]
@@ -439,8 +442,10 @@ def write_tiff(
         add(T_MODEL_TRANSFORM, 12, [gt[1], gt[2], 0, gt[0],
                                     gt[4], gt[5], 0, gt[3],
                                     0, 0, 0, 0, 0, 0, 0, 1])
+    if geo_keys is not None:
+        entries.append((T_GEO_KEYS, 3, len(geo_keys) // 2, geo_keys))
     if like is not None:
-        if like.geo_keys:
+        if like.geo_keys and geo_keys is None:
             entries.append((T_GEO_KEYS, 3, len(like.geo_keys) // 2, like.geo_keys))
         if like.geo_doubles:
             entries.append((T_GEO_DOUBLES, 12, len(like.geo_doubles) // 8, like.geo_doubles))

@@ -434,6 +434,107 @@ def warp_window(mosaic: VirtualMosaic,
     return mosaic.sample(sx, sy, dtype).reshape(h, w)
 
 
+def raster_crs(reader: TiffReader):
+    """Projection object from a GeoTIFF's GeoKeys (EPSG), or None when the
+    file carries no CRS — the get_tif_meta 'proj' slot of the reference."""
+    from srbh_tpu.data import crs as _crs
+
+    info = reader.info()
+    code = _crs.epsg_from_geokeys(info.geo_keys or b"",
+                                  getattr(reader, "_e", "<"))
+    return _crs.from_epsg(code) if code else None
+
+
+def warp_raster(src_tif: str, out_tif: str, dst_epsg: int,
+                resolution: float, src_crs=None, nodata: float = 0.0,
+                dtype=np.float32) -> str:
+    """Rewrite one raster in another CRS — the per-tile
+    ``gdal.Warp(dstSRS=…)`` of clip_tiff_whole's 'need to reproject to the
+    same projection' branch (demo_preprocess_height_v2.py:1356-1371).
+    ``src_crs`` defaults to the tile's own GeoKeys; the output is stamped
+    with ``dst_epsg`` GeoKeys so downstream reads stay CRS-aware."""
+    from srbh_tpu.data import crs as _crs
+
+    r = TiffReader(src_tif)
+    src = _crs.as_projection(src_crs) if src_crs is not None else raster_crs(r)
+    if src is None:
+        raise ValueError(f"{src_tif}: no CRS in GeoKeys; pass src_crs")
+    dst = _crs.from_epsg(dst_epsg)
+    gt = r.geotransform
+    b = (gt[0], gt[3] + gt[5] * r.height, gt[0] + gt[1] * r.width, gt[3])
+    db = _crs.transform_bounds(src, dst, b)
+    data = warp_window(VirtualMosaic([src_tif], nodata=nodata), db,
+                       resolution, dst_crs=dst, src_crs=src)
+    write_tiff(out_tif, data.astype(dtype),
+               geotransform=(db[0], resolution, 0.0, db[3], 0.0, -resolution),
+               compress="DEFLATE", nodata=nodata,
+               geo_keys=_crs.geokeys_for_epsg(dst_epsg))
+    return out_tif
+
+
+def main_proc_product(product_tifs: Sequence[str], query_shps: Sequence[str],
+                      resroot: str, suffix: str = "CNBH10m",
+                      nresolution: float = 10.0, nodata: float = 0.0,
+                      common_epsg: Optional[int] = None) -> List[str]:
+    """The main_proc_CNBH10m / main_proc_CBRA drivers
+    (demo_preprocess_height_v2.py:1418-1525): extent-index the product tiles
+    once (``all_grid.shp``), pre-warping mixed-CRS tiles to ``common_epsg``
+    first (the reference's reproject branch), then clip one city-extent
+    mosaic per query grid shapefile. Idempotent at every level: the extent
+    index, warped tiles, and per-city outputs are skipped when present.
+    Product tiles must be named ``{suffix}_{location}.tif``."""
+    from srbh_tpu.data import crs as _crs
+
+    os.makedirs(resroot, exist_ok=True)
+    files = list(product_tifs)
+    codes = []
+    for f in files:
+        r = TiffReader(f)
+        codes.append(_crs.epsg_from_geokeys(r.info().geo_keys or b"",
+                                            getattr(r, "_e", "<")))
+    distinct = {c for c in codes if c}
+    if common_epsg is None and len(distinct) == 1:
+        common_epsg = distinct.pop()
+    if common_epsg is not None and any(c != common_epsg for c in codes):
+        warped_dir = os.path.join(resroot, "warped")
+        os.makedirs(warped_dir, exist_ok=True)
+        new_files = []
+        for f, c in zip(files, codes):
+            if c == common_epsg:
+                new_files.append(f)
+                continue
+            out = os.path.join(warped_dir, os.path.basename(f))
+            if not os.path.exists(out):
+                warp_raster(f, out, common_epsg, nresolution, nodata=nodata)
+            new_files.append(out)
+        files = new_files
+
+    grid = os.path.join(resroot, "all_grid.shp")
+    prefix = suffix + "_"
+    if not os.path.exists(grid):
+        raster_extent_shapefile(
+            files, grid,
+            loc_from_name=lambda stem: (stem[len(prefix):]
+                                        if stem.startswith(prefix) else stem))
+        if common_epsg is not None:
+            with open(grid[:-4] + ".prj", "w") as f:
+                f.write(_crs.wkt_for_epsg(common_epsg))
+
+    by_dir = {os.path.dirname(f) for f in files}
+    if len(by_dir) != 1:
+        raise ValueError("product tiles must share one directory after "
+                         f"warping, got {sorted(by_dir)}")
+    tif_dir = by_dir.pop()
+    outs = []
+    for q in query_shps:
+        city = os.path.basename(q).split("_")[0]
+        out = os.path.join(resroot, f"{city}.tif")
+        clip_city_mosaic(q, grid, tif_dir, out, suffix=suffix,
+                         nresolution=nresolution, nodata=nodata)
+        outs.append(out)
+    return outs
+
+
 def _read_prj(shp_file: str) -> Optional[str]:
     prj = shp_file[:-4] + ".prj"
     if os.path.exists(prj):

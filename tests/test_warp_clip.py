@@ -184,3 +184,88 @@ class TestMosaicSample:
         ys = np.array([9.5, 0.5, 4.5, 5.0])
         out = m.sample(xs, ys)
         np.testing.assert_array_equal(out, [a[0, 0], a[9, 9], a[5, 5], -9])
+
+
+class TestEpsgGeokeys:
+    def test_geokey_roundtrip(self):
+        for code in (4326, 32617, 32756):
+            b = crs.geokeys_for_epsg(code)
+            assert crs.epsg_from_geokeys(b) == code
+
+    def test_wkt_for_epsg_roundtrips_through_parser(self):
+        p = crs.from_wkt(crs.wkt_for_epsg(32617))
+        q = crs.utm(17)
+        assert p.lon0 == q.lon0 and p.false_northing == q.false_northing
+        s = crs.from_wkt(crs.wkt_for_epsg(32756))
+        assert s.false_northing == 10000000.0
+        assert crs.from_wkt(crs.wkt_for_epsg(4326)).is_geographic
+        with pytest.raises(ValueError):
+            crs.wkt_for_epsg(3857)
+
+    def test_write_tiff_geokeys_readable(self, tmp_path):
+        p = str(tmp_path / "g.tif")
+        write_tiff(p, np.zeros((4, 4), np.uint8),
+                   geotransform=(500000.0, 10.0, 0, 4831000.0, 0, -10.0),
+                   geo_keys=crs.geokeys_for_epsg(32617))
+        from srbh_tpu.tools.products import raster_crs
+        proj = raster_crs(TiffReader(p))
+        assert proj is not None and proj.lon0 == -81.0
+
+
+class TestWarpRaster:
+    def test_utm_tile_to_geographic(self, tmp_path):
+        src = str(tmp_path / "CNBH10m_a.tif")
+        write_tiff(src, np.full((100, 100), 5.0, np.float32),
+                   geotransform=(500000.0, 10.0, 0, 4831000.0, 0, -10.0),
+                   geo_keys=crs.geokeys_for_epsg(32617))
+        out = str(tmp_path / "a_geo.tif")
+        prod.warp_raster(src, out, 4326, resolution=0.0001)
+        r = TiffReader(out)
+        from srbh_tpu.tools.products import raster_crs
+        assert raster_crs(r).is_geographic
+        d = r.read()[..., 0]
+        # at the central meridian grid convergence ~0, so the reprojected
+        # footprint fills its envelope: every pixel carries the source value
+        assert d[d.shape[0] // 2, d.shape[1] // 2] == 5.0
+        assert (d == 5.0).mean() > 0.99
+
+    def test_missing_crs_raises(self, tmp_path):
+        src = str(tmp_path / "n.tif")
+        write_tiff(src, np.zeros((4, 4), np.uint8))
+        with pytest.raises(ValueError):
+            prod.warp_raster(src, str(tmp_path / "o.tif"), 4326, 1.0)
+
+
+class TestMainProcProduct:
+    def test_mixed_crs_tiles_clip_per_city(self, tmp_path):
+        # two UTM tiles (GeoKey-stamped) forced to a 4326 common frame
+        tdir = tmp_path / "tiles"
+        tdir.mkdir()
+        tiles = []
+        for i, x0 in enumerate([500000.0, 501000.0]):
+            p = str(tdir / f"CNBH10m_t{i}.tif")
+            write_tiff(p, np.full((100, 100), i + 1, np.float32),
+                       geotransform=(x0, 10.0, 0, 4831000.0, 0, -10.0),
+                       geo_keys=crs.geokeys_for_epsg(32617))
+            tiles.append(p)
+        gb = crs.transform_bounds(crs.utm(17), crs.Geographic(),
+                                  (500300.0, 4830300.0, 501700.0, 4830700.0))
+        q = str(tmp_path / "cityA_grid.shp")
+        write_shapefile(q, [ShapeRecord(gb)],
+                        prj_wkt=crs.wkt_for_epsg(4326))
+        resroot = str(tmp_path / "res")
+        outs = prod.main_proc_product(tiles, [q], resroot,
+                                      suffix="CNBH10m",
+                                      nresolution=0.0001,
+                                      common_epsg=4326)
+        assert outs == [os.path.join(resroot, "cityA.tif")]
+        assert os.path.exists(os.path.join(resroot, "all_grid.shp"))
+        d = TiffReader(outs[0]).read()[..., 0]
+        vals = set(np.unique(d))
+        assert {1.0, 2.0} <= vals  # both tiles contribute
+        # idempotent second run (everything skipped)
+        outs2 = prod.main_proc_product(tiles, [q], resroot,
+                                       suffix="CNBH10m",
+                                       nresolution=0.0001,
+                                       common_epsg=4326)
+        assert outs2 == outs
