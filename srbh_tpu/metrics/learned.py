@@ -1,8 +1,10 @@
 """Learned image metrics: CLIPScore and LPIPS.
 
-Twin of SR/psnr_ssim.py:493-602. The encoders are real Flax modules
-(``srbh_tpu.models.clip.CLIPVisionTransformer``,
-``srbh_tpu.models.lpips.LPIPS``) with converters for the published torch
+Twin of SR/psnr_ssim.py:493-602. The encoders are real Flax modules — all
+three reference variants: the OpenAI CLIP ViT-B/16, the CLIPA bigG-336
+avg-pool tower, and the default SigLIP SO400M attention-MAP tower
+(``srbh_tpu.models.clip``), plus LPIPS-AlexNet
+(``srbh_tpu.models.lpips``) — with converters for the published torch
 weights; only the *pretrained weights* are gated (zero egress — they must be
 converted from a local checkpoint), not the architecture.
 
@@ -30,28 +32,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srbh_tpu.models.clip import CLIPVisionTransformer
+from srbh_tpu.models.clip import CLIPVisionTransformer, MAPVisionTransformer
 from srbh_tpu.models.lpips import LPIPS
 
-# encoder presets of SR/psnr_ssim.py:496-507; only the CLIP ViT tower
-# architecture is implemented (the open_clip variants use attention-MAP
-# pooling towers — different architecture, raise like the reference does for
-# unknown names).
+# encoder presets of SR/psnr_ssim.py:496-507: the OpenAI CLIP ViT-B/16,
+# open_clip's CLIPA bigG-336 (avg-pool, no ln_pre, final-LN-after-pool), and
+# the reference's DEFAULT — the SigLIP SO400M attention-MAP-pooled tower.
 _CLIP_PRESETS = {
-    "clip-ViT-B/16": dict(image_size=224, patch_size=16, width=768,
-                          layers=12, heads=12, output_dim=512,
-                          use_quick_gelu=True),
+    "clip-ViT-B/16": (CLIPVisionTransformer,
+                      dict(image_size=224, patch_size=16, width=768,
+                           layers=12, heads=12, output_dim=512,
+                           use_quick_gelu=True)),
+    "clipa-ViT-bigG-14": (CLIPVisionTransformer,
+                          dict(image_size=336, patch_size=14, width=1664,
+                               layers=48, heads=16, mlp_dim=8192,
+                               output_dim=1280, use_quick_gelu=False,
+                               ln_pre=False, pool="avg",
+                               final_ln_after_pool=True)),
+    "siglip-ViT-SO400M-14": (MAPVisionTransformer,
+                             dict(image_size=384, patch_size=14, width=1152,
+                                  layers=27, heads=16, mlp_dim=4304)),
 }
 
 
-def clip_vision_model(clip_model: str = "clip-ViT-B/16") -> CLIPVisionTransformer:
+def clip_vision_model(clip_model: str = "siglip-ViT-SO400M-14"):
     if clip_model not in _CLIP_PRESETS:
         raise ValueError(
             f"{clip_model!r} is not supported for CLIPScore "
-            f"(available: {sorted(_CLIP_PRESETS)}; the open_clip "
-            "CLIPA/SigLIP towers use attention-pool heads not implemented "
-            "here)")
-    return CLIPVisionTransformer(**_CLIP_PRESETS[clip_model])
+            f"(available: {sorted(_CLIP_PRESETS)}) — same error contract as "
+            "SR/psnr_ssim.py:508")
+    cls, kwargs = _CLIP_PRESETS[clip_model]
+    return cls(**kwargs)
 
 
 def _require(variables, what: str, converter: str):
@@ -79,11 +90,14 @@ def _prep(img, size: Optional[int] = None, dtype=jnp.float32):
 
 
 def calculate_clipscore(img, img2, variables=None,
-                        clip_model: str = "clip-ViT-B/16",
-                        model: Optional[CLIPVisionTransformer] = None) -> float:
-    """Cosine similarity of CLIP image embeddings (SR/psnr_ssim.py:493-522)."""
+                        clip_model: str = "siglip-ViT-SO400M-14",
+                        model=None) -> float:
+    """Cosine similarity of CLIP image embeddings (SR/psnr_ssim.py:493-522;
+    default encoder matches the reference's siglip-ViT-SO400M-14)."""
     model = model or clip_vision_model(clip_model)
-    _require(variables, "CLIPScore", "clip.convert_clip_visual")
+    _require(variables, "CLIPScore",
+             "clip.convert_siglip_visual (SigLIP) / clip.convert_clip_visual"
+             " (CLIP, CLIPA)")
     size = model.image_size
     f1 = model.apply(variables, _prep(img, size))
     f2 = model.apply(variables, _prep(img2, size))

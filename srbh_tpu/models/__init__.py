@@ -24,7 +24,12 @@ from srbh_tpu.models.sr_regress import SRRegress, SRRegressClsDecision, SRRegres
 from srbh_tpu.models.swinir import SwinIR, SwinTransformerBlock, WindowAttention
 from srbh_tpu.models.unet_decoder import UnetDecoder
 from srbh_tpu.models.vgg import VGG19Features, load_torchvision_vgg19
-from srbh_tpu.models.clip import CLIPVisionTransformer, convert_clip_visual
+from srbh_tpu.models.clip import (
+    CLIPVisionTransformer,
+    MAPVisionTransformer,
+    convert_clip_visual,
+    convert_siglip_visual,
+)
 from srbh_tpu.models.lpips import LPIPS, AlexNetFeatures, convert_lpips_alex
 
 __all__ = [
@@ -39,6 +44,7 @@ __all__ = [
     "VGG19Features", "load_torchvision_vgg19",
     "BasicBlock", "ConvBNAct", "PixelShuffleUpsampler", "param_count",
     "RRDB", "RRDBNet", "RRDBNetSimple", "ResidualDenseBlock", "UnetDecoder",
-    "CLIPVisionTransformer", "convert_clip_visual",
+    "CLIPVisionTransformer", "MAPVisionTransformer", "convert_clip_visual",
+    "convert_siglip_visual",
     "LPIPS", "AlexNetFeatures", "convert_lpips_alex",
 ]

@@ -236,3 +236,178 @@ class TestMetricFunctions:
             calculate_lpips(img, img)
         with pytest.raises(ValueError, match="alex"):
             calculate_lpips(img, img, {}, net="vgg")
+
+
+# ---- SigLIP MAP tower + CLIPA avg-pool variant (SR/psnr_ssim.py:496-507) ----
+
+MLP = 96  # non-4x to exercise the explicit mlp_dim
+
+
+def _attn_torch(y, qkv_w, qkv_b, out_w, out_b, heads):
+    b, n, w = y.shape
+    hd = w // heads
+    qkv = y @ qkv_w.T + qkv_b
+    q, k, v = qkv.chunk(3, dim=-1)
+    q = q.reshape(b, n, heads, hd).permute(0, 2, 1, 3)
+    k = k.reshape(b, n, heads, hd).permute(0, 2, 1, 3)
+    v = v.reshape(b, n, heads, hd).permute(0, 2, 1, 3)
+    a = torch.softmax(q @ k.transpose(-2, -1) / (hd ** 0.5), dim=-1)
+    o = (a @ v).permute(0, 2, 1, 3).reshape(b, n, w)
+    return o @ out_w.T + out_b
+
+
+def _torch_siglip_sd(rng):
+    n_tok = (IMG // PATCH) ** 2
+    sd = {
+        "patch_embed.proj.weight": rng.normal(0, 0.02, (WIDTH, 3, PATCH, PATCH)),
+        "patch_embed.proj.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "pos_embed": rng.normal(0, 0.02, (1, n_tok, WIDTH)),
+        "norm.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+        "norm.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "attn_pool.latent": rng.normal(0, 0.02, (1, 1, WIDTH)),
+        "attn_pool.q.weight": rng.normal(0, 0.05, (WIDTH, WIDTH)),
+        "attn_pool.q.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "attn_pool.kv.weight": rng.normal(0, 0.05, (2 * WIDTH, WIDTH)),
+        "attn_pool.kv.bias": rng.normal(0, 0.02, (2 * WIDTH,)),
+        "attn_pool.proj.weight": rng.normal(0, 0.05, (WIDTH, WIDTH)),
+        "attn_pool.proj.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "attn_pool.norm.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+        "attn_pool.norm.bias": rng.normal(0, 0.02, (WIDTH,)),
+        "attn_pool.mlp.fc1.weight": rng.normal(0, 0.05, (MLP, WIDTH)),
+        "attn_pool.mlp.fc1.bias": rng.normal(0, 0.02, (MLP,)),
+        "attn_pool.mlp.fc2.weight": rng.normal(0, 0.05, (WIDTH, MLP)),
+        "attn_pool.mlp.fc2.bias": rng.normal(0, 0.02, (WIDTH,)),
+    }
+    for i in range(LAYERS):
+        t = f"blocks.{i}."
+        sd.update({
+            t + "norm1.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+            t + "norm1.bias": rng.normal(0, 0.02, (WIDTH,)),
+            t + "norm2.weight": rng.uniform(0.5, 1.5, (WIDTH,)),
+            t + "norm2.bias": rng.normal(0, 0.02, (WIDTH,)),
+            t + "attn.qkv.weight": rng.normal(0, 0.05, (3 * WIDTH, WIDTH)),
+            t + "attn.qkv.bias": rng.normal(0, 0.02, (3 * WIDTH,)),
+            t + "attn.proj.weight": rng.normal(0, 0.05, (WIDTH, WIDTH)),
+            t + "attn.proj.bias": rng.normal(0, 0.02, (WIDTH,)),
+            t + "mlp.fc1.weight": rng.normal(0, 0.05, (MLP, WIDTH)),
+            t + "mlp.fc1.bias": rng.normal(0, 0.02, (MLP,)),
+            t + "mlp.fc2.weight": rng.normal(0, 0.05, (WIDTH, MLP)),
+            t + "mlp.fc2.bias": rng.normal(0, 0.02, (WIDTH,)),
+        })
+    return {k: v.astype(np.float32) for k, v in sd.items()}
+
+
+def _torch_siglip_forward(sd, x_nchw):
+    """timm SigLIP trunk + AttentionPoolLatent, verbatim semantics."""
+    import torch.nn.functional as F
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+    ln = lambda x, p: F.layer_norm(x, (WIDTH,), t[p + ".weight"],
+                                   t[p + ".bias"], eps=1e-6)
+    x = torch.from_numpy(x_nchw)
+    x = F.conv2d(x, t["patch_embed.proj.weight"],
+                 t["patch_embed.proj.bias"], stride=PATCH)
+    b = x.shape[0]
+    x = x.reshape(b, WIDTH, -1).permute(0, 2, 1) + t["pos_embed"]
+    for i in range(LAYERS):
+        p = f"blocks.{i}."
+        x = x + _attn_torch(ln(x, p + "norm1"), t[p + "attn.qkv.weight"],
+                            t[p + "attn.qkv.bias"], t[p + "attn.proj.weight"],
+                            t[p + "attn.proj.bias"], HEADS)
+        y = ln(x, p + "norm2") @ t[p + "mlp.fc1.weight"].T + t[p + "mlp.fc1.bias"]
+        x = x + F.gelu(y) @ t[p + "mlp.fc2.weight"].T + t[p + "mlp.fc2.bias"]
+    x = ln(x, "norm")
+    # AttentionPoolLatent
+    hd = WIDTH // HEADS
+    q = (t["attn_pool.latent"].expand(b, 1, WIDTH)
+         @ t["attn_pool.q.weight"].T + t["attn_pool.q.bias"])
+    kv = x @ t["attn_pool.kv.weight"].T + t["attn_pool.kv.bias"]
+    k, v = kv.chunk(2, dim=-1)
+    q = q.reshape(b, 1, HEADS, hd).permute(0, 2, 1, 3)
+    k = k.reshape(b, -1, HEADS, hd).permute(0, 2, 1, 3)
+    v = v.reshape(b, -1, HEADS, hd).permute(0, 2, 1, 3)
+    a = torch.softmax(q @ k.transpose(-2, -1) / (hd ** 0.5), dim=-1)
+    o = (a @ v).permute(0, 2, 1, 3).reshape(b, 1, WIDTH)
+    o = o @ t["attn_pool.proj.weight"].T + t["attn_pool.proj.bias"]
+    z = ln(o, "attn_pool.norm")
+    z = F.gelu(z @ t["attn_pool.mlp.fc1.weight"].T
+               + t["attn_pool.mlp.fc1.bias"])
+    z = z @ t["attn_pool.mlp.fc2.weight"].T + t["attn_pool.mlp.fc2.bias"]
+    return (o + z)[:, 0].numpy()
+
+
+def test_siglip_map_tower_matches_torch():
+    from srbh_tpu.models.clip import MAPVisionTransformer, convert_siglip_visual
+
+    rng = np.random.RandomState(7)
+    sd = _torch_siglip_sd(rng)
+    x = rng.uniform(0, 1, (2, 3, IMG, IMG)).astype(np.float32)
+    with torch.no_grad():
+        ref = _torch_siglip_forward(sd, x)
+    m = MAPVisionTransformer(image_size=IMG, patch_size=PATCH, width=WIDTH,
+                             layers=LAYERS, heads=HEADS, mlp_dim=MLP)
+    variables = convert_siglip_visual(sd, layers=LAYERS)
+    got = np.asarray(jax.jit(m.apply)(variables,
+                                      jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_clipa_avg_pool_tower_matches_torch():
+    """CLIPA variant: no ln_pre, avg pool over patch tokens, ln_post after
+    pooling, exact GELU, custom mlp_dim (open_clip ViT-bigG-14-CLIPA)."""
+    import torch.nn.functional as F
+    from srbh_tpu.models.clip import CLIPVisionTransformer, convert_clip_visual
+
+    rng = np.random.RandomState(11)
+    sd = _torch_clip_visual_sd(rng)
+    del sd["ln_pre.weight"], sd["ln_pre.bias"]  # no_ln_pre checkpoints
+    # reshape the MLP to the custom width
+    for i in range(LAYERS):
+        t = f"transformer.resblocks.{i}."
+        sd[t + "mlp.c_fc.weight"] = rng.normal(0, 0.05, (MLP, WIDTH)).astype(np.float32)
+        sd[t + "mlp.c_fc.bias"] = rng.normal(0, 0.02, (MLP,)).astype(np.float32)
+        sd[t + "mlp.c_proj.weight"] = rng.normal(0, 0.05, (WIDTH, MLP)).astype(np.float32)
+
+    t = {k: torch.from_numpy(v) for k, v in sd.items()}
+    x = rng.uniform(0, 1, (2, 3, IMG, IMG)).astype(np.float32)
+    with torch.no_grad():
+        h = F.conv2d(torch.from_numpy(x), t["conv1.weight"], stride=PATCH)
+        b = h.shape[0]
+        h = h.reshape(b, WIDTH, -1).permute(0, 2, 1)
+        h = torch.cat([t["class_embedding"].expand(b, 1, WIDTH), h], 1)
+        h = h + t["positional_embedding"]
+        for i in range(LAYERS):
+            p = f"transformer.resblocks.{i}."
+            y = F.layer_norm(h, (WIDTH,), t[p + "ln_1.weight"], t[p + "ln_1.bias"])
+            h = h + _attn_torch(y, t[p + "attn.in_proj_weight"],
+                                t[p + "attn.in_proj_bias"],
+                                t[p + "attn.out_proj.weight"],
+                                t[p + "attn.out_proj.bias"], HEADS)
+            y = F.layer_norm(h, (WIDTH,), t[p + "ln_2.weight"], t[p + "ln_2.bias"])
+            y = F.gelu(y @ t[p + "mlp.c_fc.weight"].T + t[p + "mlp.c_fc.bias"])
+            h = h + y @ t[p + "mlp.c_proj.weight"].T + t[p + "mlp.c_proj.bias"]
+        pooled = h[:, 1:].mean(dim=1)
+        pooled = F.layer_norm(pooled, (WIDTH,), t["ln_post.weight"],
+                              t["ln_post.bias"])
+        ref = (pooled @ t["proj"]).numpy()
+
+    m = CLIPVisionTransformer(image_size=IMG, patch_size=PATCH, width=WIDTH,
+                              layers=LAYERS, heads=HEADS, output_dim=32,
+                              use_quick_gelu=False, mlp_dim=MLP,
+                              ln_pre=False, pool="avg",
+                              final_ln_after_pool=True)
+    variables = convert_clip_visual(sd, layers=LAYERS)
+    got = np.asarray(jax.jit(m.apply)(variables,
+                                      jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-4)
+
+
+def test_clipscore_preset_contract():
+    from srbh_tpu.metrics.learned import clip_vision_model
+
+    m = clip_vision_model("siglip-ViT-SO400M-14")
+    assert m.width == 1152 and m.layers == 27 and m.mlp_dim == 4304
+    m = clip_vision_model("clipa-ViT-bigG-14")
+    assert m.pool == "avg" and not m.ln_pre and m.final_ln_after_pool
+    with pytest.raises(ValueError):
+        clip_vision_model("resnet50")
