@@ -57,8 +57,15 @@ def predict_city(
     chans_build: int = 7,
     batch_size: int = 32,
     upscale: int = 4,
+    stitch: str = "host",
 ):
-    """Predict one city mosaic and write build/height GeoTIFFs."""
+    """Predict one city mosaic and write build/height GeoTIFFs.
+
+    ``stitch='device'`` keeps the canvases in HBM and scatter-adds the model
+    outputs without any per-batch device->host transfer (SURVEY.md §5.7's
+    TPU-native blending; one compact mosaic transfer per city). The host
+    accumulator stays the default — city canvases at 2.5 m can exceed HBM.
+    """
     build_tif = os.path.join(respath, f"{cityname}_build.tif")
     height_tif = os.path.join(respath, f"{cityname}_height.tif")
     if os.path.exists(build_tif):
@@ -66,7 +73,14 @@ def predict_city(
 
     from srbh_tpu.data.pipeline import DataLoader
 
-    acc = MosaicAccumulator(dataset.width, dataset.height, chans_build, upscale)
+    if stitch == "device":
+        from srbh_tpu.predict.device_stitcher import DeviceMosaicAccumulator
+
+        acc = DeviceMosaicAccumulator(dataset.width, dataset.height,
+                                      chans_build, upscale)
+    else:
+        acc = MosaicAccumulator(dataset.width, dataset.height, chans_build,
+                                upscale)
     # threaded decode overlaps the host window reads with device compute
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
                         num_workers=4, prefetch=2)
@@ -78,9 +92,15 @@ def predict_city(
             images = np.concatenate(
                 [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
         h, b = step(variables, sr_params, jnp.asarray(images))
-        h = np.asarray(h)[:n_real]
-        b = np.asarray(b)[:n_real]
-        acc.add_batch(h, b, pos)
+        if stitch == "device":
+            # zero-count windows mask out the padded tail on device
+            pos_full = np.zeros((batch_size, 4), np.int32)
+            pos_full[:n_real] = pos
+            acc.add_batch(h, b, pos_full)
+        else:
+            h = np.asarray(h)[:n_real]
+            b = np.asarray(b)[:n_real]
+            acc.add_batch(h, b, pos)
 
     height, build_cls, weight = acc.finalize()
     nres = dataset.geotrans[1] / upscale
