@@ -121,6 +121,7 @@ def predict_cities(
     s1dir: str = "s1globe_check", s2dir: str = "s2globe_check",
     gridvalid: Optional[str] = "isv",
     nchans: int = 6, chans_build: int = 7, batch_size: int = 32,
+    stitch: str = "host",
 ):
     """The per-region driver loop (predict_…globe.py:122-133,221-233)."""
     step = make_city_step(model, sr_model)
@@ -131,7 +132,7 @@ def predict_cities(
                               gridvalid=gridvalid, nchans=nchans)
         results.append(predict_city(ds, step, variables, sr_params,
                                     respath, cityname, chans_build,
-                                    batch_size))
+                                    batch_size, stitch=stitch))
     return results
 
 
