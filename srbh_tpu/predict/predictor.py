@@ -25,11 +25,17 @@ from srbh_tpu.predict.stitcher import MosaicAccumulator
 from srbh_tpu.predict.writers import array2raster, array2raster_rio
 
 
-def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16):
-    """Jitted batch step: image -> (uint16 height dm, uint16 build softmax)."""
+def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16,
+                   mesh=None):
+    """Jitted batch step: image -> (uint16 height dm, uint16 build softmax).
+
+    With ``mesh``, the batch is sharded over the mesh's data axis and the
+    params replicated (GSPMD data-parallel inference — the multi-chip form
+    of the 301-city sweep; keep ``batch_size`` a multiple of the axis size
+    so padded tail batches split evenly).
+    """
     rgb = jnp.asarray(rgb_idx)
 
-    @jax.jit
     def step(variables, sr_params, image):
         img = image.astype(dtype)
         fea = sr_model.apply(sr_params, img[..., rgb], features_only=True)
@@ -44,7 +50,13 @@ def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16):
                       * 255).astype(jnp.uint8)
         return h, b
 
-    return step
+    if mesh is None:
+        return jax.jit(step)
+    from srbh_tpu.parallel.mesh import batch_sharding, replicated
+
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, rep, data),
+                   out_shardings=(data, data))
 
 
 def predict_city(

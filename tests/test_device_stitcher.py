@@ -143,3 +143,29 @@ def test_predict_city_device_stitch_matches_host(tmp_path):
                           batch_size=4, stitch="device")
     np.testing.assert_array_equal(TiffReader(bd).read(), TiffReader(bh).read())
     np.testing.assert_array_equal(TiffReader(hd).read(), TiffReader(hh).read())
+
+
+def test_make_city_step_mesh_sharded_matches_single():
+    """GSPMD data-parallel inference step == single-device outputs."""
+    import jax
+    from srbh_tpu import models
+    from srbh_tpu.predict.predictor import make_city_step
+
+    sr = models.RRDBNet(num_block=1, num_feat=8, num_grow_ch=8,
+                        dtype=jnp.float32)
+    model = models.SRRegressClsFeature(encoder_name="efficientnet-test",
+                                       super_mid=8, isaggre=True,
+                                       chans_build=7, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((8, 32, 32, 8))
+    sr_params = jax.jit(sr.init)(key, x0[..., :3])
+    variables = jax.jit(model.init)(key, x0, jnp.zeros((8, 128, 128, 8)))
+
+    mesh = pmesh.make_mesh()
+    step1 = make_city_step(model, sr, dtype=jnp.float32)
+    step8 = make_city_step(model, sr, dtype=jnp.float32, mesh=mesh)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 8))
+    h1, b1 = step1(variables, sr_params, x)
+    h8, b8 = step8(variables, sr_params, x)
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h8))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b8))
