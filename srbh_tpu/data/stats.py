@@ -143,3 +143,56 @@ def floor2height(tifile: str, resdir: str = "bhchina_height"):
     os.makedirs(resdir, exist_ok=True)
     write_tiff(resfile, data, geotransform=r.geotransform, like=r.info())
     return resfile
+
+
+def _cli(argv=None):
+    """CLI twin of stats_dataset_globe.py's __main__ driver (:229-320)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="srbh-stats")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("stats", help="per-band tables for one tile dir")
+    p.add_argument("--ipath", required=True)
+    p.add_argument("--subdir", required=True)
+    p.add_argument("--nband", type=int, required=True)
+    p.add_argument("--resroot", default="datastats")
+    p.add_argument("--imglist", default=None)
+
+    p = sub.add_parser("merge", help="merge saved region .npy into one table")
+    p.add_argument("--regions", nargs="+", required=True)
+    p.add_argument("--subdir", required=True)
+    p.add_argument("--nband", type=int, required=True)
+    p.add_argument("--resroot", default="datastatsglobe")
+
+    p = sub.add_parser("heights", help="256-bin height histogram")
+    p.add_argument("--height-dir", required=True)
+    p.add_argument("--savepath", required=True)
+    p.add_argument("--savename", required=True)
+    p.add_argument("--filelist", default=None)
+
+    p = sub.add_parser("merge-heights", help="sum region histograms")
+    p.add_argument("--regions", nargs="+", required=True)
+    p.add_argument("--savepath", required=True)
+    p.add_argument("--savename", default="bh_stats_globe")
+
+    p = sub.add_parser("floor2height", help="china floors -> metres x3")
+    p.add_argument("tifs", nargs="+")
+    p.add_argument("--resdir", default="bhchina_height")
+
+    a = ap.parse_args(argv)
+    if a.cmd == "stats":
+        main_stats(a.ipath, a.subdir, a.nband, a.resroot, a.imglist)
+    elif a.cmd == "merge":
+        main_stats_merge(a.regions, a.subdir, a.nband, a.resroot)
+    elif a.cmd == "heights":
+        height_histogram(a.height_dir, a.savepath, a.savename, a.filelist)
+    elif a.cmd == "merge-heights":
+        merge_height_histograms(a.regions, a.savepath, a.savename)
+    elif a.cmd == "floor2height":
+        for t in a.tifs:
+            floor2height(t, a.resdir)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _cli()

@@ -8,6 +8,8 @@ implemented over the framework's own raster/vector codecs:
   raster's grid, burning a constant or a DBF attribute
   (generate_WSF_mask_…py:33-66; demo_preprocess_…py building-footprint
   rasterisation).
+* :func:`shp_to_tiff`        — rasterise onto a self-defined grid at a fixed
+  resolution from the layer extent (demo_preprocess_…py:27-70).
 * :func:`clip_tiff_by_tiff`  — clip one raster to another's extent
   (generate_WSF_mask_…py:78-98, the WSF2019-to-city step).
 * :func:`main_gen_mask`      — per-city WSF mask generation driver
@@ -214,3 +216,68 @@ def download_sentinel12(query_shp: str, resroot: str,
         f"(year {year}) to {resroot} requires GEE credentials + network "
         "egress; run the reference's GEE driver off-device and point the "
         "data pipeline at the exported tiles.")
+
+
+def _cli(argv=None):
+    """CLI twin of generate_WSF_mask_Globeheight_grid.py's __main__ +
+    demo_preprocess_height_v2.py's main_shp2tif/main2 drivers."""
+    import argparse
+
+    from srbh_tpu.data.grid import fishgrid_stats, write_fishgrid
+
+    ap = argparse.ArgumentParser(prog="srbh-preprocess")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("gen-mask", help="clip the WSF raster per city")
+    p.add_argument("--citydir", required=True)
+    p.add_argument("--wsf", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--suffix", default="_s2.tif")
+
+    p = sub.add_parser("shp2tif", help="rasterise onto a reference grid")
+    p.add_argument("--shp", required=True)
+    p.add_argument("--ref-tif", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--attribute", default=None)
+
+    p = sub.add_parser("shp-to-tiff", help="rasterise onto an own 2.5 m grid")
+    p.add_argument("--shp", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--attribute", default="class")
+    p.add_argument("--resolution", type=float, default=2.5)
+
+    p = sub.add_parser("clip", help="clip a raster to another's extent")
+    p.add_argument("--src", required=True)
+    p.add_argument("--extent", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("mosaic", help="merge rasters onto the first's grid")
+    p.add_argument("tifs", nargs="+")
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("grid", help="write the 64/56 fishnet + WSF validity")
+    p.add_argument("--tif", required=True)
+    p.add_argument("--wsf", required=True)
+    p.add_argument("--window", type=int, default=64)
+    p.add_argument("--offset", type=int, default=56)
+
+    a = ap.parse_args(argv)
+    if a.cmd == "gen-mask":
+        main_gen_mask(a.citydir, a.wsf, a.outdir, a.suffix)
+    elif a.cmd == "shp2tif":
+        shp2tif(a.shp, a.ref_tif, a.out, attribute=a.attribute)
+    elif a.cmd == "shp-to-tiff":
+        shp_to_tiff(a.shp, a.out, attribute=a.attribute,
+                    nresolution=a.resolution)
+    elif a.cmd == "clip":
+        clip_tiff_by_tiff(a.src, a.extent, a.out)
+    elif a.cmd == "mosaic":
+        mosaic_rasters(a.tifs, a.out)
+    elif a.cmd == "grid":
+        shp = write_fishgrid(a.tif, a.window, a.offset)
+        fishgrid_stats(a.wsf, shp)
+        print(shp)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _cli()

@@ -112,3 +112,48 @@ class TestCompare:
         write_shapefile(shp, [ShapeRecord((0, 0, 1, 1))])
         with pytest.raises(RuntimeError, match="Earth-Engine"):
             prep.download_sentinel12(shp, str(tmp_path))
+
+
+class TestCLIs:
+    def test_preprocess_cli_roundtrip(self, tmp_path):
+        """shp-to-tiff + clip + grid subcommands drive the real functions."""
+        import numpy as np
+        from srbh_tpu.data.shapefile import ShapeRecord, write_shapefile
+        from srbh_tpu.data.tiff import TiffReader, write_tiff
+        from srbh_tpu.tools.preprocess import _cli
+
+        shp = str(tmp_path / "b.shp")
+        write_shapefile(shp, [ShapeRecord((0.0, 0.0, 20.0, 20.0),
+                                          {"class": 5})],
+                        [("class", "N", 9, 0)])
+        out = str(tmp_path / "b.tif")
+        _cli(["shp-to-tiff", "--shp", shp, "--out", out,
+              "--resolution", "2.5"])
+        r = TiffReader(out)
+        assert (r.width, r.height) == (8, 8)
+        assert r.read().max() == 5
+
+        big = str(tmp_path / "big.tif")
+        write_tiff(big, np.arange(400, dtype=np.uint16).reshape(20, 20),
+                   geotransform=(0, 2.5, 0, 50, 0, -2.5))
+        clipped = str(tmp_path / "clip.tif")
+        _cli(["clip", "--src", big, "--extent", out, "--out", clipped])
+        assert TiffReader(clipped).width == 8
+
+    def test_stats_cli(self, tmp_path):
+        import numpy as np
+        from srbh_tpu.data.stats import _cli
+        from srbh_tpu.data.tiff import write_tiff
+
+        d = tmp_path / "tiles" / "s2x"
+        d.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            write_tiff(str(d / f"t{i}.tif"),
+                       rng.randint(0, 1000, (8, 8, 2)).astype(np.uint16))
+        res = str(tmp_path / "stats")
+        _cli(["stats", "--ipath", str(tmp_path / "tiles"),
+              "--subdir", "s2x", "--nband", "2", "--resroot", res])
+        table = np.loadtxt(res + "/s2x_minmax.txt")
+        assert table.shape == (2, 2)
+        assert (table[1] > table[0]).all()
