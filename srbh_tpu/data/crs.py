@@ -287,6 +287,26 @@ def wkt_for_epsg(code: int) -> str:
     raise ValueError(f"unsupported EPSG:{code}")
 
 
+def epsg_of(p) -> Optional[int]:
+    """Best-effort inverse of :func:`from_epsg`: the EPSG code of a
+    projection object (or WKT string), None when it is not one of the
+    supported canonical forms (WGS84 geographic / WGS84 UTM zones)."""
+    p = as_projection(p)
+    if abs(p.a - _A) > 1e-3 or abs(p.f - _F) > 1e-12:
+        return None
+    if getattr(p, "is_geographic", False):
+        return 4326
+    if (isinstance(p, TransverseMercator) and p.k0 == 0.9996
+            and p.false_easting == 500000.0 and p.lat0 == 0.0):
+        zone = (p.lon0 + 183.0) / 6.0
+        if zone == int(zone) and 1 <= int(zone) <= 60:
+            if p.false_northing == 0.0:
+                return 32600 + int(zone)
+            if p.false_northing == 10000000.0:
+                return 32700 + int(zone)
+    return None
+
+
 def as_projection(p):
     """Coerce WKT strings, EPSG ints, or projection objects to an object."""
     if isinstance(p, str):

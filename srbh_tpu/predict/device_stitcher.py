@@ -17,6 +17,7 @@ test pins. Host accumulation stays the default for canvases beyond HBM
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional, Tuple
 
@@ -85,6 +86,32 @@ def stitch_tiles(height_u16: jnp.ndarray, build_u16: jnp.ndarray,
                         pos.astype(jnp.int32), upscale)
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_stitch_fn(mesh, h: int, w: int, c: int, upscale: int):
+    """Jitted shard_map program for one (mesh, canvas, classes) shape —
+    cached so per-city calls in a fleet sweep compile once."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(hts, bts, pts):
+        # initial canvases must be typed as varying over the data axis
+        # (each device accumulates a different partial sum before the psum)
+        def vary(x):
+            return jax.lax.pcast(x, DATA_AXIS, to="varying")
+
+        hs = vary(jnp.zeros((h, w), jnp.int32))
+        bs = vary(jnp.zeros((h, w, c), jnp.int32))
+        wt = vary(jnp.zeros((h, w), jnp.int32))
+        hs, bs, wt = _scan_stitch(hs, bs, wt, hts, bts,
+                                  pts.astype(jnp.int32), upscale)
+        return (jax.lax.psum(hs, DATA_AXIS), jax.lax.psum(bs, DATA_AXIS),
+                jax.lax.psum(wt, DATA_AXIS))
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P(), P())))
+
+
 def stitch_tiles_sharded(height_u16, build_u16, pos,
                          canvas_hw: Tuple[int, int], mesh,
                          upscale: int = 4):
@@ -108,26 +135,12 @@ def stitch_tiles_sharded(height_u16, build_u16, pos,
         pos = np.concatenate([pos, np.zeros((padn, 4), pos.dtype)])
 
     h, w = canvas_hw
-    c = build_u16.shape[-1]
-
-    def local(hts, bts, pts):
-        # initial canvases must be typed as varying over the data axis
-        # (each device accumulates a different partial sum before the psum)
-        hs = jax.lax.pvary(jnp.zeros((h, w), jnp.int32), DATA_AXIS)
-        bs = jax.lax.pvary(jnp.zeros((h, w, c), jnp.int32), DATA_AXIS)
-        wt = jax.lax.pvary(jnp.zeros((h, w), jnp.int32), DATA_AXIS)
-        hs, bs, wt = _scan_stitch(hs, bs, wt, hts, bts,
-                                  pts.astype(jnp.int32), upscale)
-        return (jax.lax.psum(hs, DATA_AXIS), jax.lax.psum(bs, DATA_AXIS),
-                jax.lax.psum(wt, DATA_AXIS))
-
-    fn = jax.shard_map(local, mesh=mesh,
-                       in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-                       out_specs=(P(), P(), P()))
+    fn = _sharded_stitch_fn(mesh, h, w, int(build_u16.shape[-1]),
+                            int(upscale))
     shard = NamedSharding(mesh, P(DATA_AXIS))
     args = [jax.device_put(np.asarray(a), shard)
             for a in (height_u16, build_u16, pos)]
-    return jax.jit(fn)(*args)
+    return fn(*args)
 
 
 class DeviceMosaicAccumulator:

@@ -495,16 +495,28 @@ def main_proc_product(product_tifs: Sequence[str], query_shps: Sequence[str],
     distinct = {c for c in codes if c}
     if common_epsg is None and len(distinct) == 1:
         common_epsg = distinct.pop()
-    if common_epsg is not None and any(c != common_epsg for c in codes):
+    # tiles without GeoKeys (code None) are assumed to already be in the
+    # common frame — warping them is impossible and pre-CRS behaviour kept
+    # them as-is
+    needs_warp = (common_epsg is not None
+                  and any(c is not None and c != common_epsg for c in codes))
+    if needs_warp:
         warped_dir = os.path.join(resroot, "warped")
         os.makedirs(warped_dir, exist_ok=True)
         new_files = []
         for f, c in zip(files, codes):
-            if c == common_epsg:
-                new_files.append(f)
-                continue
             out = os.path.join(warped_dir, os.path.basename(f))
-            if not os.path.exists(out):
+            if c is None or c == common_epsg:
+                # keep already-common tiles alongside the warped ones so the
+                # mosaic directory stays single (hard-link, copy fallback)
+                if not os.path.exists(out):
+                    try:
+                        os.link(f, out)
+                    except OSError:
+                        import shutil
+
+                        shutil.copyfile(f, out)
+            elif not os.path.exists(out):
                 warp_raster(f, out, common_epsg, nresolution, nodata=nodata)
             new_files.append(out)
         files = new_files
@@ -517,8 +529,13 @@ def main_proc_product(product_tifs: Sequence[str], query_shps: Sequence[str],
             loc_from_name=lambda stem: (stem[len(prefix):]
                                         if stem.startswith(prefix) else stem))
         if common_epsg is not None:
-            with open(grid[:-4] + ".prj", "w") as f:
-                f.write(_crs.wkt_for_epsg(common_epsg))
+            try:
+                wkt = _crs.wkt_for_epsg(common_epsg)
+            except ValueError:
+                wkt = None  # exotic-but-homogeneous EPSG: no .prj, no warp
+            if wkt:
+                with open(grid[:-4] + ".prj", "w") as f:
+                    f.write(wkt)
 
     by_dir = {os.path.dirname(f) for f in files}
     if len(by_dir) != 1:
@@ -586,8 +603,18 @@ def clip_city_mosaic(query_shp: str, grid_shp: str, tif_dir: str,
                        dst_crs=query_prj if cross else None,
                        src_crs=grid_prj if cross else None)
     gt = (qb[0], nresolution, 0.0, qb[3], 0.0, -nresolution)
+    # stamp the output CRS (gdal.Warp(dstSRS=...) keeps it; so do we)
+    geo_keys = None
+    out_prj = query_prj or grid_prj
+    if out_prj:
+        try:
+            code = _crs.epsg_of(out_prj)
+        except ValueError:
+            code = None
+        if code:
+            geo_keys = _crs.geokeys_for_epsg(code)
     write_tiff(out_tif, data.astype(dtype), geotransform=gt,
-               compress="DEFLATE", nodata=nodata)
+               compress="DEFLATE", nodata=nodata, geo_keys=geo_keys)
     return data.astype(dtype)
 
 

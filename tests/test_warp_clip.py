@@ -269,3 +269,99 @@ class TestMainProcProduct:
                                        nresolution=0.0001,
                                        common_epsg=4326)
         assert outs2 == outs
+
+
+class TestReviewRegressions:
+    """Fixes from the session code review, pinned."""
+
+    def test_epsg_of_inverse(self):
+        assert crs.epsg_of(crs.utm(17)) == 32617
+        assert crs.epsg_of(crs.utm(56, south=True)) == 32756
+        assert crs.epsg_of(crs.Geographic()) == 4326
+        assert crs.epsg_of(crs.TransverseMercator(lon0=9.5)) is None
+        assert crs.epsg_of(WKT_UTM17N) == 32617
+
+    def test_main_proc_genuinely_mixed_tiles(self, tmp_path):
+        """Tiles already in the common CRS coexist with warped ones."""
+        tdir = tmp_path / "tiles"
+        tdir.mkdir()
+        ga = str(tdir / "CNBH10m_a.tif")  # already geographic
+        gb_utm = str(tdir / "CNBH10m_b.tif")  # needs warping
+        gb = crs.transform_bounds(crs.utm(17), 4326,
+                                  (500000.0, 4830000.0, 501000.0, 4831000.0))
+        res = (gb[2] - gb[0]) / 100.0
+        write_tiff(ga, np.full((100, 100), 1.0, np.float32),
+                   geotransform=(gb[0] - 100 * res, res, 0, gb[3], 0, -res),
+                   geo_keys=crs.geokeys_for_epsg(4326))
+        write_tiff(gb_utm, np.full((100, 100), 2.0, np.float32),
+                   geotransform=(500000.0, 10.0, 0, 4831000.0, 0, -10.0),
+                   geo_keys=crs.geokeys_for_epsg(32617))
+        q = str(tmp_path / "cityA_grid.shp")
+        write_shapefile(q, [ShapeRecord((gb[0] - 50 * res, gb[1] + 20 * res,
+                                         gb[0] + 50 * res, gb[3] - 20 * res))],
+                        prj_wkt=crs.wkt_for_epsg(4326))
+        outs = prod.main_proc_product([ga, gb_utm], [q],
+                                      str(tmp_path / "res"),
+                                      nresolution=res, common_epsg=4326)
+        d = TiffReader(outs[0]).read()[..., 0]
+        assert {1.0, 2.0} <= set(np.unique(d))
+
+    def test_main_proc_exotic_homogeneous_epsg(self, tmp_path):
+        """A homogeneous non-UTM EPSG set processes without warping."""
+        tdir = tmp_path / "tiles"
+        tdir.mkdir()
+        p = str(tdir / "CNBH10m_x.tif")
+        write_tiff(p, np.full((50, 50), 3.0, np.float32),
+                   geotransform=(0.0, 1.0, 0, 50.0, 0, -1.0),
+                   geo_keys=crs.geokeys_for_epsg(4490))  # CGCS2000
+        q = str(tmp_path / "cityX_grid.shp")
+        write_shapefile(q, [ShapeRecord((10.0, 10.0, 40.0, 40.0))])
+        outs = prod.main_proc_product([p], [q], str(tmp_path / "res"),
+                                      nresolution=1.0)
+        d = TiffReader(outs[0]).read()[..., 0]
+        assert set(np.unique(d)) == {3.0}
+
+    def test_main_proc_tile_without_geokeys(self, tmp_path):
+        """A no-GeoKeys tile is assumed common-CRS, not force-warped."""
+        tdir = tmp_path / "tiles"
+        tdir.mkdir()
+        a = str(tdir / "CNBH10m_a.tif")
+        b = str(tdir / "CNBH10m_b.tif")
+        write_tiff(a, np.full((50, 50), 1.0, np.float32),
+                   geotransform=(500000.0, 10.0, 0, 4831000.0, 0, -10.0),
+                   geo_keys=crs.geokeys_for_epsg(32617))
+        write_tiff(b, np.full((50, 50), 2.0, np.float32),
+                   geotransform=(500500.0, 10.0, 0, 4831000.0, 0, -10.0))
+        q = str(tmp_path / "cityY_grid.shp")
+        write_shapefile(q, [ShapeRecord((500200.0, 4830600.0,
+                                         500800.0, 4830900.0))])
+        outs = prod.main_proc_product([a, b], [q], str(tmp_path / "res"),
+                                      nresolution=10.0)
+        d = TiffReader(outs[0]).read()[..., 0]
+        assert {1.0, 2.0} <= set(np.unique(d))
+
+    def test_clip_city_mosaic_stamps_crs(self, tmp_path):
+        t = str(tmp_path / "CNBH10m_t0.tif")
+        write_tiff(t, np.full((100, 100), 4.0, np.float32),
+                   geotransform=(500000.0, 10.0, 0, 4831000.0, 0, -10.0))
+        grid = str(tmp_path / "extent.shp")
+        prod.raster_extent_shapefile([t], grid,
+                                     loc_from_name=lambda s: s.split("_")[1])
+        with open(grid[:-4] + ".prj", "w") as f:
+            f.write(crs.wkt_for_epsg(32617))
+        q = str(tmp_path / "city_q.shp")
+        write_shapefile(q, [ShapeRecord((500200.0, 4830200.0,
+                                         500800.0, 4830800.0))],
+                        prj_wkt=crs.wkt_for_epsg(32617))
+        out = str(tmp_path / "city.tif")
+        prod.clip_city_mosaic(q, grid, str(tmp_path), out, nresolution=10.0)
+        assert crs.epsg_of(prod.raster_crs(TiffReader(out))) == 32617
+
+    def test_sharded_stitch_program_is_cached(self):
+        from srbh_tpu.parallel import mesh as pmesh
+        from srbh_tpu.predict.device_stitcher import _sharded_stitch_fn
+
+        mesh = pmesh.make_mesh()
+        f1 = _sharded_stitch_fn(mesh, 64, 64, 3, 4)
+        f2 = _sharded_stitch_fn(mesh, 64, 64, 3, 4)
+        assert f1 is f2
