@@ -15,7 +15,12 @@ from srbh_tpu.metrics.streaming import (
     height_update,
 )
 from srbh_tpu.metrics.writers import acc2file_height, acc2file_rmse, acc2file_seg
-from srbh_tpu.metrics.learned import calculate_clipscore, calculate_lpips
+from srbh_tpu.metrics.learned import (
+    calculate_clipscore,
+    calculate_clipscore_pt,
+    calculate_lpips,
+    calculate_lpips_pt,
+)
 
 __all__ = [
     "bgr2ycbcr", "calculate_cpsnr", "calculate_psnr", "calculate_psnrb",
@@ -23,5 +28,6 @@ __all__ = [
     "AverageMeter", "HeightMetric", "SegmentationMetric",
     "confusion_update", "height_update",
     "acc2file_height", "acc2file_rmse", "acc2file_seg",
-    "calculate_clipscore", "calculate_lpips",
+    "calculate_clipscore", "calculate_clipscore_pt", "calculate_lpips",
+    "calculate_lpips_pt",
 ]

@@ -53,6 +53,9 @@ _CLIP_PRESETS = {
                              dict(image_size=384, patch_size=14, width=1152,
                                   layers=27, heads=16, mlp_dim=4304)),
 }
+# reference quirk, reproduced: calculate_clipscore_pt maps 'resnet50' to the
+# SigLIP tower (SR/psnr_ssim.py:539-542)
+_CLIP_PRESETS["resnet50"] = _CLIP_PRESETS["siglip-ViT-SO400M-14"]
 
 
 def clip_vision_model(clip_model: str = "siglip-ViT-SO400M-14"):
@@ -104,6 +107,50 @@ def calculate_clipscore(img, img2, variables=None,
     f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
     f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
     return float(jnp.sum(f1 * f2, axis=-1).mean())
+
+
+def calculate_clipscore_pt(imgs, imgs2, variables=None,
+                           clip_model: str = "siglip-ViT-SO400M-14",
+                           model=None) -> float:
+    """Batched-tensor CLIPScore (calculate_clipscore_pt,
+    SR/psnr_ssim.py:525-560): inputs are float (B, H, W, C) arrays already
+    in [0, 1] (no /255), single-channel batches are channel-repeated, and
+    the per-image cosine similarities are averaged."""
+    model = model or clip_vision_model(clip_model)
+    _require(variables, "CLIPScore",
+             "clip.convert_siglip_visual (SigLIP) / clip.convert_clip_visual"
+             " (CLIP, CLIPA)")
+    size = model.image_size
+
+    def prep(x):
+        x = jnp.asarray(np.asarray(x), jnp.float32)
+        if x.shape[-1] == 1:
+            x = jnp.repeat(x, 3, axis=-1)
+        if x.shape[1] != size or x.shape[2] != size:
+            x = jax.image.resize(x, (x.shape[0], size, size, x.shape[-1]),
+                                 method="nearest")
+        return x
+
+    f1 = model.apply(variables, prep(imgs))
+    f2 = model.apply(variables, prep(imgs2))
+    f1 = f1 / jnp.linalg.norm(f1, axis=-1, keepdims=True)
+    f2 = f2 / jnp.linalg.norm(f2, axis=-1, keepdims=True)
+    return float(jnp.sum(f1 * f2, axis=-1).mean())
+
+
+def calculate_lpips_pt(imgs, imgs2, variables=None,
+                       model: Optional[LPIPS] = None) -> float:
+    """Batched-tensor LPIPS (calculate_lpips_pt, SR/psnr_ssim.py:584-602):
+    float (B, H, W, C) inputs pass through unscaled (the reference feeds
+    them as-is), 1-channel batches are repeated, distances are averaged."""
+    model = model or LPIPS()
+    _require(variables, "LPIPS", "lpips.convert_lpips_alex")
+
+    def prep(x):
+        x = jnp.asarray(np.asarray(x), jnp.float32)
+        return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+    return float(model.apply(variables, prep(imgs), prep(imgs2)).mean())
 
 
 def calculate_lpips(img, img2, variables=None, net: str = "alex",

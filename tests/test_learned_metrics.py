@@ -411,3 +411,45 @@ def test_clipscore_preset_contract():
     assert m.pool == "avg" and not m.ln_pre and m.final_ln_after_pool
     with pytest.raises(ValueError):
         clip_vision_model("resnet50")
+
+
+def test_pt_variants_match_single_image_paths():
+    """The batched _pt twins (SR/psnr_ssim.py:525-560,584-602) agree with
+    the single-image functions on a duplicated batch, and 'resnet50'
+    aliases the SigLIP tower like the reference."""
+    from srbh_tpu.metrics.learned import (
+        calculate_clipscore,
+        calculate_clipscore_pt,
+        calculate_lpips,
+        calculate_lpips_pt,
+        clip_vision_model,
+    )
+    from srbh_tpu.models.clip import MAPVisionTransformer
+    from srbh_tpu.models.lpips import LPIPS
+
+    rng = np.random.RandomState(0)
+    # 64 px: AlexNet's stride/pool ladder collapses smaller inputs to an
+    # empty spatial extent (upstream lpips has the same minimum)
+    a = rng.randint(0, 256, (64, 64, 3)).astype(np.float32)
+    b = rng.randint(0, 256, (64, 64, 3)).astype(np.float32)
+
+    m = MAPVisionTransformer(image_size=64, patch_size=16, width=32,
+                             layers=1, heads=4, mlp_dim=64)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    s1 = calculate_clipscore(a, b, variables=v, model=m)
+    sb = calculate_clipscore_pt(np.stack([a, a]) / 255.0,
+                                np.stack([b, b]) / 255.0,
+                                variables=v, model=m)
+    assert abs(s1 - sb) < 1e-5
+
+    lp = LPIPS()
+    lv = jax.jit(lp.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                          jnp.zeros((1, 64, 64, 3)))
+    d1 = calculate_lpips(a, b, variables=lv, model=lp)
+    db = calculate_lpips_pt(np.stack([a, a]) / 255.0,
+                            np.stack([b, b]) / 255.0,
+                            variables=lv, model=lp)
+    assert abs(d1 - db) < 1e-5
+
+    # the reference's 'resnet50' option builds the SigLIP tower
+    assert isinstance(clip_vision_model("resnet50"), MAPVisionTransformer)
