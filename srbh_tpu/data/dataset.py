@@ -85,7 +85,8 @@ class S12GlobeDataset:
 
     def _load_pair(self, index):
         row = self.datalist.iloc[index]
-        basename, s1dir, s2dir, bhdir = row[0], row[1], row[2], row[3]
+        basename, s1dir, s2dir, bhdir = (row.iloc[0], row.iloc[1],
+                                         row.iloc[2], row.iloc[3])
         s2 = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
         img = np.concatenate([s2, s1], axis=-1).astype(np.float32)
@@ -137,7 +138,8 @@ class S2GlobeDataset(S12GlobeDataset):
 
     def _load_pair(self, index):
         row = self.datalist.iloc[index]
-        basename, _s1dir, s2dir, bhdir = row[0], row[1], row[2], row[3]
+        basename, _s1dir, s2dir, bhdir = (row.iloc[0], row.iloc[1],
+                                          row.iloc[2], row.iloc[3])
         s2 = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         img = s2.astype(np.float32)
         hpath = os.path.join(self.rootname, bhdir, basename)
@@ -151,7 +153,8 @@ class S1GlobeDataset(S12GlobeDataset):
 
     def _load_pair(self, index):
         row = self.datalist.iloc[index]
-        basename, s1dir, _s2dir, bhdir = row[0], row[1], row[2], row[3]
+        basename, s1dir, _s2dir, bhdir = (row.iloc[0], row.iloc[1],
+                                          row.iloc[2], row.iloc[3])
         s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
         img = s1.astype(np.float32)
         hpath = os.path.join(self.rootname, bhdir, basename)
@@ -218,8 +221,9 @@ class LRHRPairDataset:
 
     def __getitem__(self, index):
         row = self.datalist.iloc[index]
-        basename = row[0]
-        s2dir = row[2] if len(self.datalist.columns) > 2 else self.s2dir
+        basename = row.iloc[0]
+        s2dir = (row.iloc[2] if len(self.datalist.columns) > 2
+                 else self.s2dir)
         gedir = row[4] if len(self.datalist.columns) > 4 else self.gedir
         lr = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         hr = read_tiff(os.path.join(self.rootname, gedir, basename))[..., :3]

@@ -60,7 +60,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        return idx[self.shard_index:: self.num_shards]
+        shard = idx[self.shard_index:: self.num_shards]
+        if self.num_shards > 1:
+            # equal shard lengths: in jax.distributed training every step is
+            # a collective, so a process with one extra batch would leave its
+            # peers blocked in psum (torch's DistributedSampler equalises for
+            # the same reason — we truncate to the minimum shard length)
+            shard = shard[: len(self.dataset) // self.num_shards]
+        return shard
 
     def __iter__(self) -> Iterator[Dict]:
         indices = self._indices()
@@ -73,23 +80,40 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            """Blocking put that re-checks ``stop`` so an early-exiting
+            consumer (max_steps, exceptions) never strands the producer."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    batch = _collate(samples)
-                    if self.device_put:
-                        paths = batch.pop("path", None)
-                        batch = {
-                            k: jax.device_put(v, self.sharding)
-                            for k, v in batch.items()
-                        }
-                        if paths is not None:
-                            batch["path"] = paths
-                    q.put(batch)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_idx))
+                        batch = _collate(samples)
+                        if self.device_put:
+                            paths = batch.pop("path", None)
+                            batch = {
+                                k: jax.device_put(v, self.sharding)
+                                for k, v in batch.items()
+                            }
+                            if paths is not None:
+                                batch["path"] = paths
+                        if not _put(batch):
+                            return
+            except BaseException as exc:  # surface worker errors, never hang
+                _put(exc)
+            else:
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -98,6 +122,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

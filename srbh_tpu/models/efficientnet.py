@@ -157,7 +157,8 @@ class EfficientNetEncoder(nn.Module):
         repeats = [round_repeats(r, depth) for _, _, _, _, r in _B0_STAGES]
         total_blocks = sum(repeats)
         block_idx = 0
-        tap_after_stage = {1: None, 2: "r4", 3: "r8", 5: "r16", 7: "r32"}
+        # skip taps feed the UnetDecoder after stages 2 (r4), 3 (r8),
+        # 5 (r16) and 7 (r32)
         for si, (expand, kernel, stride, base_c, _) in enumerate(_B0_STAGES, 1):
             out_ch = round_filters(base_c, width)
             for bi in range(repeats[si - 1]):

@@ -87,7 +87,7 @@ def get_args(city: str = "globe", argv: Optional[List[str]] = None) -> TrainConf
             parser.add_argument(f"--{f.name}",
                                 type=type(default) if default is not None else str,
                                 default=default)
-    ns = parser.parse_args(argv or [])
+    ns = parser.parse_args(argv)  # None -> sys.argv, like the reference
     for f in fields(TrainConfig):
         v = getattr(ns, f.name)
         if isinstance(getattr(cfg, f.name), tuple) and isinstance(v, list):

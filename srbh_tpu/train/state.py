@@ -35,8 +35,7 @@ def torch_adam(
         steps += [optax.scale_by_adam(b1=b1, b2=b2, eps=eps), optax.scale(-lr)]
         return optax.chain(*steps)
 
-    if callable(learning_rate):
-        return optax.inject_hyperparams(lambda lr: make(lr))(lr=learning_rate)
+    # inject_hyperparams handles schedules and constants uniformly
     return optax.inject_hyperparams(lambda lr: make(lr))(lr=learning_rate)
 
 

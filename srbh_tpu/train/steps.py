@@ -27,7 +27,12 @@ from typing import Any, Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from srbh_tpu.losses.adaptive import ce_dice_adapt_weight, mse_adapt_weight
+from srbh_tpu.losses.adaptive import (
+    ce_dice_adapt,
+    ce_dice_adapt_weight,
+    mse_adapt,
+    mse_adapt_weight,
+)
 from srbh_tpu.train.state import TrainState
 
 
@@ -61,14 +66,25 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(base_rng, state.step)},
             )
-            height, build, aggre = outs
-            height = height[..., 0]
-            aggre = aggre[..., 0]
-            loss = (
-                mse_adapt_weight(height, batch["height"], batch["weight"], log_vars[0])
-                + mse_adapt_weight(aggre, batch["height_aggre"], batch["weight_aggre"], log_vars[1])
-                + ce_dice_adapt_weight(build, batch["build"], batch["weight"], log_vars[2])
-            )
+            if isaggre:
+                height, build, aggre = outs
+                height = height[..., 0]
+                aggre = aggre[..., 0]
+                loss = (
+                    mse_adapt_weight(height, batch["height"],
+                                     batch["weight"], log_vars[0])
+                    + mse_adapt_weight(aggre, batch["height_aggre"],
+                                       batch["weight_aggre"], log_vars[1])
+                    + ce_dice_adapt_weight(build, batch["build"],
+                                           batch["weight"], log_vars[2])
+                )
+            else:
+                # plain two-head epoch (train.py:274-312): MSE_adapt +
+                # CE_DICE_adapt, no pixel weights, two log-vars
+                height, build = outs[0], outs[1]
+                height = height[..., 0]
+                loss = (mse_adapt(height, batch["height"], log_vars[0])
+                        + ce_dice_adapt(build, batch["build"], log_vars[1]))
             rmse = jnp.sqrt(jnp.mean((height - batch["height"]) ** 2))
             return loss, (mutated["batch_stats"], rmse)
 

@@ -35,7 +35,6 @@ from srbh_tpu.metrics import (
     acc2file_rmse,
     acc2file_seg,
 )
-from srbh_tpu.ops.hierarchy import build_hierarchy_lut
 from srbh_tpu.parallel import mesh as pmesh
 from srbh_tpu.train.checkpoint import (
     load_checkpoint,
@@ -86,7 +85,9 @@ def load_sr_params(cfg: TrainConfig, sr_params):
     payload = load_checkpoint(cfg.logdirhr)
     if payload is None:
         return sr_params, False
-    tree = payload.get("params", payload)
+    # prefer the EMA generator, like the reference's ['net_g_ema'] load
+    # (train.py:137-138); sr_driver checkpoints carry both params/params_ema
+    tree = payload.get("params_ema", payload.get("params", payload))
     return {"params": jax.tree_util.tree_map(jnp.asarray, tree["params"])
             if "params" in tree else jax.tree_util.tree_map(jnp.asarray, tree)
             }, True
@@ -152,7 +153,9 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         if not loaded:
             print("=> no SR checkpoint found; using random frozen features")
 
-    state = TrainState.create(variables, n_log_vars=3, lr=cfg.lr,
+    state = TrainState.create(variables,
+                              n_log_vars=3 if cfg.isaggre else 2,
+                              lr=cfg.lr,
                               weight_decay=cfg.weight_decay)
     start_epoch, best_rmse = 0, float("inf")
     resume = os.path.join(cfg.logdir, "checkpoint")
@@ -254,7 +257,6 @@ def main_test(cfg: TrainConfig, num_sample: int = 100, suffix: str = "",
     acc_total = AverageMeter()
     acc_seg = SegmentationMetric(cfg.chans_build)
     acc_he = HeightMetric(cfg.chans_build)
-    lut = jnp.asarray(build_hierarchy_lut(cfg.hir))
 
     respath = os.path.join(cfg.logdir, f"pred_{epoch}_{suffix}")
     if issave:
