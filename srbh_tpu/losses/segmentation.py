@@ -108,15 +108,19 @@ def ss_loss(logits, labels, r: float = 0.1, batch_dice: bool = False,
 
 
 def gdice_loss(logits, labels, smooth: float = 1e-5):
-    """Generalised dice with 1/volume^2 class weights (dice_loss.py:84-128)."""
+    """Generalised dice with per-sample 1/volume^2 class weights
+    (dice_loss.py:84-128): w is per (batch, class) — einsum('bcxyz->bc') —
+    dice is formed per sample and averaged, and the value is returned
+    NEGATIVE (in [-1, 0]) exactly like the reference's ``-2(...)``."""
     probs = jax.nn.softmax(logits, -1)
     onehot = _one_hot(labels, logits.shape[-1])
-    axes = tuple(range(0, probs.ndim - 1))  # pooled over batch+spatial
-    vol = onehot.sum(axes)
-    w = 1.0 / jnp.clip(vol * vol, smooth)
-    inter = (probs * onehot).sum(axes)
-    union = (probs + onehot).sum(axes)
-    return 1.0 - 2.0 * (w * inter).sum() / jnp.clip((w * union).sum(), smooth)
+    spatial = tuple(range(1, probs.ndim - 1))
+    vol = onehot.sum(spatial)  # (B, C)
+    w = 1.0 / (vol.astype(probs.dtype) + 1e-10) ** 2
+    inter = w * (probs * onehot).sum(spatial)
+    union = w * (probs.sum(spatial) + vol)
+    divided = -2.0 * (inter.sum(-1) + smooth) / (union.sum(-1) + smooth)
+    return divided.mean()
 
 
 def focal_loss(logits, labels, alpha=None, gamma: float = 2.0,
@@ -270,24 +274,30 @@ def explog_loss(logits, labels, gamma: float = 0.3, w_dice: float = 0.8,
     return w_dice * expdice + w_ce * expce
 
 
-def ce_mse_loss(height_logits, height_target, seg_logits, seg_labels):
-    """CE_MSE composite (myloss.py:8-30)."""
-    mse = jnp.mean((height_logits - height_target) ** 2)
-    return mse + softmax_cross_entropy(seg_logits, seg_labels)
+def ce_mse_loss(seg_logits, seg_labels, bd_pred, bd_target,
+                beta: float = 0.7):
+    """CE_MSE composite (myloss.py:8-18): cross-entropy on the mask plus
+    ``beta`` x MSE of the boundary regression against ``rbd / 255``."""
+    ce = softmax_cross_entropy(seg_logits, seg_labels)
+    mse = jnp.mean((bd_pred - bd_target.astype(jnp.float32) / 255.0) ** 2)
+    return ce + beta * mse
 
 
 def _bce_with_logits(logits, target):
-    return jnp.mean(jnp.maximum(logits, 0) - logits * target
-                    + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    import optax
+
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
 
 
-def _binary_iou(prob, target, smooth: float = 1.0):
-    """IOU term of the BCE composites (iou_loss.py:21-28)."""
-    p = prob.reshape(-1)
-    t = target.reshape(-1).astype(prob.dtype)
-    inter = jnp.sum(p * t)
-    union = jnp.sum(p) + jnp.sum(t) - inter
-    return 1.0 - (inter + smooth) / (union + smooth)
+def _binary_iou(prob, target):
+    """IOU term of the BCE composites (iou_loss.py:6-28): per-image
+    unsmoothed 1 - I/U, averaged over the batch — a batch mixes tiny- and
+    large-foreground tiles with equal weight, unlike a pooled global IoU."""
+    p = prob.reshape(prob.shape[0], -1)
+    t = target.reshape(target.shape[0], -1).astype(prob.dtype)
+    inter = jnp.sum(p * t, axis=-1)
+    union = jnp.sum(p, axis=-1) + jnp.sum(t, axis=-1) - inter
+    return jnp.mean(1.0 - inter / union)
 
 
 def bce_ssim_iou_loss(logits, target01, data_range: float = 1.0):
@@ -324,14 +334,15 @@ def ce_dice_iou_loss(logits, labels):
     return ce + dice_binary(prob_fg, t) + _binary_iou(prob_fg, t)
 
 
-def bce_ssim_iou_bd_loss(logits, target01, dist_map, bd_weight: float = 1.0,
+def bce_ssim_iou_bd_loss(logits, target01, bd_pred, bd_target,
                          data_range: float = 1.0):
-    """BCE+SSIM+IoU plus a boundary-distance term (myloss.py BCE_SSIM_IOU_BD):
-    the binary analogue of :func:`boundary_loss` on the foreground prob."""
-    prob = jax.nn.sigmoid(logits)
+    """BCE+SSIM+IoU plus a boundary-REGRESSION term (myloss.py:73-90
+    BCE_SSIM_IOU_BD): the fourth term is ``MSELoss(pbd, rbd / 255)`` between
+    a predicted boundary map and the ground-truth boundary raster — not a
+    distance-map integral."""
     base = bce_ssim_iou_loss(logits, target01, data_range)
-    bd = jnp.mean(prob * dist_map)
-    return base + bd_weight * bd
+    bd = jnp.mean((bd_pred - bd_target.astype(jnp.float32) / 255.0) ** 2)
+    return base + bd
 
 
 def hausdorff_er_loss(logits, labels, alpha: float = 2.0, erosions: int = 3):

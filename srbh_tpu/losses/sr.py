@@ -39,8 +39,9 @@ def perceptual_loss(feats_x: Sequence[jnp.ndarray],
 
 
 def _bce_with_logits(logits, target):
-    return jnp.mean(
-        jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    import optax
+
+    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
 
 
 def gan_loss(pred: jnp.ndarray, target_is_real: bool, gan_type: str = "vanilla",
@@ -74,13 +75,15 @@ def l1_loss(x, gt):
 
 def tv_loss(x: jnp.ndarray, loss_weight: float = 1.0) -> jnp.ndarray:
     """Total variation over an NHWC batch (SR/srloss.py:251-274 semantics:
-    squared diffs normalised by element counts, x2, batch-averaged)."""
-    n = x.shape[0]
+    squared diffs normalised by per-image element counts, x2, then
+    batch-averaged). Our counts include the batch dim, which IS the
+    reference's per-image count times its final /batch_size — dividing by
+    the batch again would shrink the loss by N."""
     h_tv = jnp.sum((x[:, 1:, :, :] - x[:, :-1, :, :]) ** 2)
     w_tv = jnp.sum((x[:, :, 1:, :] - x[:, :, :-1, :]) ** 2)
     count_h = x[:, 1:].size
     count_w = x[:, :, 1:].size
-    return loss_weight * 2 * (h_tv / count_h + w_tv / count_w) / n
+    return loss_weight * 2 * (h_tv / count_h + w_tv / count_w)
 
 
 def charbonnier_loss(x, gt, eps: float = 1e-12) -> jnp.ndarray:
@@ -104,12 +107,16 @@ def g_path_regularize(fake_fn: Callable, latents: jnp.ndarray,
         scale = jnp.sqrt(img.shape[1] * img.shape[2])
         return jnp.sum(img * noise / scale)
 
-    def per_example(z):
+    def per_example(z, k):
+        # fresh independent noise per example: StyleGAN2's estimator needs
+        # E||J^T n||^2 over random n; a shared/frozen n would regularise only
+        # one fixed Jacobian direction
         img_shape = jax.eval_shape(fake_fn, z[None]).shape
-        noise = jax.random.normal(key, img_shape)
+        noise = jax.random.normal(k, img_shape)
         return jax.grad(lambda zz: out_scalar(zz[None], noise))(z)
 
-    grads = jax.vmap(per_example)(latents)
+    keys = jax.random.split(key, latents.shape[0])
+    grads = jax.vmap(per_example)(latents, keys)
     path_lengths = jnp.sqrt(jnp.sum(grads.reshape(latents.shape[0], -1) ** 2, 1))
     path_mean = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)
     penalty = jnp.mean((path_lengths - path_mean) ** 2)

@@ -38,7 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from typing import Any
+from typing import Any, Callable, Optional
 
 from srbh_tpu.models.layers import (
     Dtype,
@@ -51,9 +51,10 @@ from srbh_tpu.ops.resize import upsample_nearest
 from srbh_tpu.ops.shuffle import pixel_unshuffle
 
 
-def _growth_conv(features, name, dtype):
+def _growth_conv(features, name, dtype, kernel_init=None):
     # ESRGAN residual-branch init: kaiming_normal * 0.1 (rrdbnet_arch.py:138)
-    return tconv(features, 3, kernel_init=kaiming_normal_scaled(0.1),
+    return tconv(features, 3,
+                 kernel_init=kernel_init or kaiming_normal_scaled(0.1),
                  dtype=dtype, name=name)
 
 
@@ -96,6 +97,7 @@ class ResidualDenseBlock(nn.Module):
     dtype: Dtype = jnp.float32
     fused: bool = False
     quantize: bool = False
+    growth_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
@@ -113,14 +115,18 @@ class ResidualDenseBlock(nn.Module):
             x5 = qc(jnp.concatenate([x, x1, x2, x3, x4], -1), nf, "conv5")
             return x5 * 0.2 + x
         if not self.fused:
-            x1 = lrelu(_growth_conv(gc, "conv1", self.dtype)(x))
-            x2 = lrelu(_growth_conv(gc, "conv2", self.dtype)(
+            x1 = lrelu(_growth_conv(gc, "conv1", self.dtype,
+                                    self.growth_init)(x))
+            x2 = lrelu(_growth_conv(gc, "conv2", self.dtype,
+                                    self.growth_init)(
                 jnp.concatenate([x, x1], -1)))
-            x3 = lrelu(_growth_conv(gc, "conv3", self.dtype)(
+            x3 = lrelu(_growth_conv(gc, "conv3", self.dtype,
+                                    self.growth_init)(
                 jnp.concatenate([x, x1, x2], -1)))
-            x4 = lrelu(_growth_conv(gc, "conv4", self.dtype)(
+            x4 = lrelu(_growth_conv(gc, "conv4", self.dtype,
+                                    self.growth_init)(
                 jnp.concatenate([x, x1, x2, x3], -1)))
-            x5 = _growth_conv(nf, "conv5", self.dtype)(
+            x5 = _growth_conv(nf, "conv5", self.dtype, self.growth_init)(
                 jnp.concatenate([x, x1, x2, x3, x4], -1))
             return x5 * 0.2 + x
 
@@ -164,15 +170,15 @@ class RRDB(nn.Module):
     dtype: Dtype = jnp.float32
     fused: bool = False
     quantize: bool = False
+    growth_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype,
-                                 self.fused, self.quantize, name="rdb1")(x)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype,
-                                 self.fused, self.quantize, name="rdb2")(out)
-        out = ResidualDenseBlock(self.num_feat, self.num_grow_ch, self.dtype,
-                                 self.fused, self.quantize, name="rdb3")(out)
+        for name in ("rdb1", "rdb2", "rdb3"):
+            block = ResidualDenseBlock(
+                self.num_feat, self.num_grow_ch, self.dtype, self.fused,
+                self.quantize, growth_init=self.growth_init, name=name)
+            out = block(x if name == "rdb1" else out)
         return out * 0.2 + x
 
 
@@ -245,8 +251,11 @@ class RRDBNetSimple(nn.Module):
                      name="conv_first")(x)
         body = feat
         for i in range(self.num_block):
+            # the old generator's 0.1-scaled init is commented out in the
+            # reference (SR/RRDBNet.py:75-77) -> torch's default conv init
             body = RRDB(self.num_feat, self.num_grow_ch, self.dtype,
-                        self.fused, name=f"body_{i}")(body)
+                        self.fused, growth_init=torch_conv_default_init,
+                        name=f"body_{i}")(body)
         body = tconv(self.num_feat, 3, dtype=self.dtype, name="trunk_conv")(body)
         feat = feat + body
         lrelu = lambda v: nn.leaky_relu(v, 0.2)

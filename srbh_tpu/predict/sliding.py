@@ -19,6 +19,11 @@ import numpy as np
 
 def window_anchors(size: int, grid: int, stride: int):
     """Start offsets covering [0, size) with a final snapped-to-edge window."""
+    if size < grid:
+        raise ValueError(
+            f"image extent {size} is smaller than the window {grid}; pad the "
+            "input (the reference's whole-image loaders symmetric-pad, "
+            "BH_loader.py:795-801) or reduce the window")
     anchors = list(range(0, size - grid, stride))
     anchors.append(size - grid)
     return anchors

@@ -25,7 +25,8 @@ class TestDiceFamily:
         assert float(seg.soft_dice_loss(logits, labels)) < -0.99
         assert float(seg.iou_loss(logits, labels)) < -0.99
         assert float(seg.tversky_loss(logits, labels)) < -0.99
-        assert float(seg.gdice_loss(logits, labels)) < 0.01
+        # reference GDiceLoss returns NEGATIVE dice (dice_loss.py:122-126)
+        assert float(seg.gdice_loss(logits, labels)) < -0.99
         assert float(seg.lovasz_softmax(jax.nn.softmax(logits, -1), labels)) < 0.01
 
     def test_all_finite_on_random(self):
@@ -114,8 +115,11 @@ class TestComposites:
         t = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.5).astype(np.float32))
         assert np.isfinite(float(seg.bce_ssim_iou_loss(logits, t)))
         assert np.isfinite(float(seg.bce_dice_loss(logits, t)))
-        dist = jnp.asarray(rng.normal(size=(1, 32, 32, 1)).astype(np.float32))
-        assert np.isfinite(float(seg.bce_ssim_iou_bd_loss(logits, t, dist)))
+        # BD term = MSE(pbd, rbd/255) on a separate boundary head
+        # (myloss.py:73-90)
+        pbd = jnp.asarray(rng.random((1, 32, 32, 1)).astype(np.float32))
+        rbd = jnp.asarray((rng.random((1, 32, 32, 1)) > 0.5) * 255.0)
+        assert np.isfinite(float(seg.bce_ssim_iou_bd_loss(logits, t, pbd, rbd)))
         ml = jnp.asarray(rng.normal(size=(1, 16, 16, 3)).astype(np.float32))
         lab = jnp.asarray(rng.integers(0, 3, (1, 16, 16)))
         assert np.isfinite(float(seg.ce_dice_iou_loss(ml, lab)))
@@ -160,3 +164,48 @@ class TestSSIMLosses:
         got = float(sl.ssim(jnp.asarray(a[None], jnp.float32),
                             jnp.asarray(b[None], jnp.float32))[0])
         assert abs(got - want) < 1e-3
+
+
+class TestTorchParityOracles:
+    """The review-fixed losses pinned against verbatim torch ports of the
+    reference code (TVLoss srloss.py:251-274, GDiceLoss dice_loss.py:84-128,
+    IOU iou_loss.py:6-28)."""
+
+    def test_tv_gdice_iou_match_reference(self):
+        torch = pytest.importorskip("torch")
+        from srbh_tpu.losses.sr import tv_loss
+
+        rng = np.random.RandomState(3)
+        x = rng.random((4, 16, 16, 3)).astype(np.float32)
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        bs, c, h, w = t.shape
+        h_tv = ((t[:, :, 1:] - t[:, :, :-1]) ** 2).sum()
+        w_tv = ((t[..., 1:] - t[..., :-1]) ** 2).sum()
+        ref = float(2 * (h_tv / (c * (h - 1) * w)
+                         + w_tv / (c * h * (w - 1))) / bs)
+        assert abs(ref - float(tv_loss(jnp.asarray(x)))) < 1e-6
+
+        logits = rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+        labels = rng.randint(0, 3, (4, 8, 8))
+        probs = torch.softmax(torch.from_numpy(logits.transpose(0, 3, 1, 2)), 1)
+        onehot = torch.nn.functional.one_hot(
+            torch.from_numpy(labels).long(), 3).permute(0, 3, 1, 2).float()
+        wt = 1.0 / (torch.einsum("bcxy->bc", onehot) + 1e-10) ** 2
+        inter = wt * torch.einsum("bcxy,bcxy->bc", probs, onehot)
+        union = wt * (torch.einsum("bcxy->bc", probs)
+                      + torch.einsum("bcxy->bc", onehot))
+        ref_gd = float((-2 * (inter.sum(1) + 1e-5)
+                        / (union.sum(1) + 1e-5)).mean())
+        got_gd = float(seg.gdice_loss(jnp.asarray(logits),
+                                      jnp.asarray(labels)))
+        assert abs(ref_gd - got_gd) < 1e-5
+
+        p = rng.random((4, 8, 8, 1)).astype(np.float32)
+        g = (rng.random((4, 8, 8, 1)) > 0.5).astype(np.float32)
+        tp, tg = torch.from_numpy(p), torch.from_numpy(g)
+        ref_iou = float(np.mean([
+            float(1 - (tg[i] * tp[i]).sum()
+                  / (tg[i].sum() + tp[i].sum() - (tg[i] * tp[i]).sum()))
+            for i in range(4)]))
+        got_iou = float(seg._binary_iou(jnp.asarray(p), jnp.asarray(g)))
+        assert abs(ref_iou - got_iou) < 1e-6
