@@ -42,7 +42,9 @@ def grid_shuffle_2x2(rng: np.random.Generator, img, mask):
     hh, hw = h // 2, w // 2
     order = rng.permutation(4)
     cells = [(0, 0), (0, hw), (hh, 0), (hh, hw)]
-    img2, mask2 = np.empty_like(img), np.empty_like(mask)
+    # copy first: odd H/W leave a last row/col outside the 2x2 cells, which
+    # must carry the input values, not uninitialised memory
+    img2, mask2 = img.copy(), mask.copy()
     for dst, src in enumerate(order):
         dy, dx = cells[dst]
         sy, sx = cells[src]

@@ -66,6 +66,8 @@ def addabspath(ipath: str, city: str, flist=None, listdir: str = "datalistcopy")
               "dem": f"dem{city}", "dsm": f"dsm{city}"}
     for file in flist:
         df = pd.read_csv(str(file), header=None)
+        if len(df.columns) >= 1 + len(subdir):
+            continue  # already augmented: re-running the recipe is a no-op
         for k, v in subdir.items():
             df[k] = v
         df.to_csv(os.path.join(ipath, Path(file).name), header=False, index=False)

@@ -203,7 +203,17 @@ def generate_index(shp_file: str, geotransform,
 
 
 class GridImageDataset:
-    """Windowed city reads at fishnet positions (gridimgLoader twin)."""
+    """Windowed city reads at fishnet positions (gridimgLoader twin).
+
+    Ragged cells (xcount/ycount < window) are zero-padded to the fixed
+    window so the jitted batch step keeps one shape; the padded region is
+    cropped back out at mosaic accumulation using the true counts. The
+    reference feeds the ragged tile directly (BH_loader.py:965-990), whose
+    convs implicitly zero-pad at the short edge — a (theoretical)
+    divergence in deep-layer bleed near that edge. In the shipped workflow
+    it never occurs: fishgrid_cells snaps boundary cells to the image edge
+    at full window size, so every predictor window is 64 px.
+    """
 
     def __init__(self, rootname: str, cityname: str, datastats: str,
                  normmethod: str = "minmax", s1dir: str = "s1",

@@ -146,11 +146,6 @@ def _decompress(data: bytes, method: int, expected: int) -> bytes:
     raise ValueError(f"unsupported TIFF compression {method}")
 
 
-def _undo_predictor(arr: np.ndarray) -> np.ndarray:
-    # horizontal differencing over the last (pixel) axis per row
-    return np.cumsum(arr, axis=-2, dtype=arr.dtype) if False else arr
-
-
 @dataclass
 class TiffInfo:
     width: int
@@ -337,18 +332,23 @@ class TiffReader:
         else:
             rps = self.rows_per_strip
             strips_per_plane = (self.height + rps - 1) // rps
+            # clamp to the image extent like the tile path: windows crossing
+            # the right/bottom edge zero-fill instead of raising
+            x1_img = min(xoff + xs, self.width)
+            last_strip = min((yoff + ys - 1) // rps, strips_per_plane - 1)
             for p in range(planes):
-                for s in range(yoff // rps, (yoff + ys - 1) // rps + 1):
+                for s in range(yoff // rps, last_strip + 1):
                     rows = min(rps, self.height - s * rps)
                     strip = self._decode_chunk(p * strips_per_plane + s,
                                                (rows, self.width, chans))
                     y0 = max(s * rps, yoff)
                     y1 = min(s * rps + rows, yoff + ys)
-                    sub = strip[y0 - s * rps: y1 - s * rps, xoff: xoff + xs]
+                    sub = strip[y0 - s * rps: y1 - s * rps, xoff: x1_img]
                     if self.planar == 2:
-                        out[y0 - yoff: y1 - yoff, :, p] = sub[..., 0]
+                        out[y0 - yoff: y1 - yoff, : x1_img - xoff, p] = \
+                            sub[..., 0]
                     else:
-                        out[y0 - yoff: y1 - yoff] = sub
+                        out[y0 - yoff: y1 - yoff, : x1_img - xoff] = sub
         return out
 
 

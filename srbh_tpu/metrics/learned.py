@@ -53,9 +53,10 @@ _CLIP_PRESETS = {
                              dict(image_size=384, patch_size=14, width=1152,
                                   layers=27, heads=16, mlp_dim=4304)),
 }
-# reference quirk, reproduced: calculate_clipscore_pt maps 'resnet50' to the
-# SigLIP tower (SR/psnr_ssim.py:539-542)
-_CLIP_PRESETS["resnet50"] = _CLIP_PRESETS["siglip-ViT-SO400M-14"]
+# reference quirk: only the batched _pt variant maps 'resnet50' to the
+# SigLIP tower (SR/psnr_ssim.py:539-542); the single-image function raises
+# for it (:507-508), so the alias is applied in calculate_clipscore_pt only
+_PT_ALIASES = {"resnet50": "siglip-ViT-SO400M-14"}
 
 
 def clip_vision_model(clip_model: str = "siglip-ViT-SO400M-14"):
@@ -116,7 +117,8 @@ def calculate_clipscore_pt(imgs, imgs2, variables=None,
     SR/psnr_ssim.py:525-560): inputs are float (B, H, W, C) arrays already
     in [0, 1] (no /255), single-channel batches are channel-repeated, and
     the per-image cosine similarities are averaged."""
-    model = model or clip_vision_model(clip_model)
+    model = model or clip_vision_model(_PT_ALIASES.get(clip_model,
+                                                       clip_model))
     _require(variables, "CLIPScore",
              "clip.convert_siglip_visual (SigLIP) / clip.convert_clip_visual"
              " (CLIP, CLIPA)")

@@ -26,11 +26,16 @@ import numpy as np
 
 def confusion_update(cm: jnp.ndarray, pred: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
     """Scatter-add a batch into a (C, C) count matrix (metrics.py:71-79):
-    row = label (reference), col = prediction."""
+    row = label (reference), col = prediction. Out-of-range entries (e.g.
+    an ignore-index of -1) are masked out — JAX's negative-index scatter
+    would otherwise silently wrap them into the last class."""
     c = cm.shape[0]
-    idx = (label.reshape(-1) * c + pred.reshape(-1)).astype(jnp.int32)
-    flat = jnp.zeros((c * c,), cm.dtype).at[idx].add(1)
-    return cm + flat.reshape(c, c)
+    label = label.reshape(-1)
+    pred = pred.reshape(-1)
+    valid = (label >= 0) & (label < c) & (pred >= 0) & (pred < c)
+    idx = jnp.where(valid, label * c + pred, c * c).astype(jnp.int32)
+    flat = jnp.zeros((c * c + 1,), cm.dtype).at[idx].add(1)
+    return cm + flat[: c * c].reshape(c, c)
 
 
 def height_update(stats: jnp.ndarray, counts: jnp.ndarray,
@@ -71,17 +76,23 @@ class SegmentationMetric:
         self.reset()
 
     def reset(self):
-        self.cm = jnp.zeros((self.num_class, self.num_class), jnp.float64
-                            if jax.config.jax_enable_x64 else jnp.float32)
+        # host-side float64 totals ("int 64 is important", metrics.py:86):
+        # one batch's counts are exact in f32 on device (< 2^24 pixels), the
+        # running sum is not — so each batch is accumulated on device and
+        # added into an exact host total
+        self.cm = np.zeros((self.num_class, self.num_class), np.float64)
 
     def add_batch(self, pred, label):
-        self.cm = confusion_update(self.cm, jnp.asarray(pred), jnp.asarray(label))
+        batch_cm = confusion_update(
+            jnp.zeros((self.num_class, self.num_class), jnp.float32),
+            jnp.asarray(pred), jnp.asarray(label))
+        self.cm = self.cm + np.asarray(batch_cm, np.float64)
 
     addBatch = add_batch  # reference-compatible alias
 
     # finalisers (host, float64)
     def _np(self):
-        return np.asarray(self.cm, dtype=np.float64)
+        return self.cm
 
     def overall_accuracy(self):
         cm = self._np()
@@ -124,25 +135,29 @@ class SegmentationMetric:
 class HeightMetric:
     """Per-hierarchy-class height error metrics (metrics.py:163-234)."""
 
-    def __init__(self, num_class: int = 7, buildhir_lut=None):
+    def __init__(self, num_class: int = 7):
         self.num_class = num_class
         self.reset()
 
     def reset(self):
-        self.stats = jnp.zeros((self.num_class, 3), jnp.float32)
-        self.counts = jnp.zeros((self.num_class, 1), jnp.float32)
+        # float64 host totals, exact per-batch device accumulation (the
+        # reference stores float64 on device, metrics.py:231-234)
+        self.stats = np.zeros((self.num_class, 3), np.float64)
+        self.counts = np.zeros((self.num_class, 1), np.float64)
 
     def add_batch(self, pred, ref, build_class):
-        self.stats, self.counts = height_update(
-            self.stats, self.counts, jnp.asarray(pred), jnp.asarray(ref),
-            jnp.asarray(build_class),
+        rows, cnts = height_update(
+            jnp.zeros((self.num_class, 3), jnp.float32),
+            jnp.zeros((self.num_class, 1), jnp.float32),
+            jnp.asarray(pred), jnp.asarray(ref), jnp.asarray(build_class),
         )
+        self.stats = self.stats + np.asarray(rows, np.float64)
+        self.counts = self.counts + np.asarray(cnts, np.float64)
 
     addBatch = add_batch
 
     def avg_each(self):
-        return np.asarray(self.stats, np.float64) / (
-            np.asarray(self.counts, np.float64) + 1e-10)
+        return self.stats / (self.counts + 1e-10)
 
     def avg_balance(self):
         return self.avg_each().mean(axis=0)

@@ -190,6 +190,9 @@ def run_folder(task: str, folder: str, variables, scale: int = 1,
             if task in ("jpeg_car", "color_jpeg_car"):
                 results["psnrb"].append(calculate_psnrb(
                     o, gt8, crop_border=border))
+                if gt8.ndim == 3:  # PSNRB_Y for color CAR (:103-104)
+                    results["psnrb_y"].append(calculate_psnrb(
+                        o, gt8, crop_border=border, test_y_channel=True))
     return {k: (sum(v) / len(v) if v else None) for k, v in results.items()}
 
 

@@ -451,5 +451,9 @@ def test_pt_variants_match_single_image_paths():
                             variables=lv, model=lp)
     assert abs(d1 - db) < 1e-5
 
-    # the reference's 'resnet50' option builds the SigLIP tower
-    assert isinstance(clip_vision_model("resnet50"), MAPVisionTransformer)
+    # 'resnet50' aliases SigLIP only in the _pt variant (psnr_ssim.py:539-542);
+    # the single-image path keeps the reference's raise (:507-508)
+    from srbh_tpu.metrics.learned import _PT_ALIASES
+    assert _PT_ALIASES["resnet50"] == "siglip-ViT-SO400M-14"
+    with pytest.raises(ValueError):
+        clip_vision_model("resnet50")

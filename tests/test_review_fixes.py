@@ -142,3 +142,67 @@ class TestTrainerWiring:
         monkeypatch.setattr(sys, "argv", ["prog", "--maxepoch", "5"])
         cfg = get_args("globe")
         assert cfg.maxepoch == 5
+
+
+class TestThirdPassFixes:
+    def test_strip_window_clamps_at_edges(self, tmp_path):
+        from srbh_tpu.data.tiff import TiffReader, write_tiff
+
+        a = (np.arange(77 * 40) % 251).reshape(40, 77).astype(np.uint8)
+        p = str(tmp_path / "s.tif")
+        write_tiff(p, a, rows_per_strip=16)  # strip layout
+        r = TiffReader(p)
+        out = r.read((70, 0, 20, 10))[..., 0]
+        np.testing.assert_array_equal(out[:, :7], a[:10, 70:])
+        assert (out[:, 7:] == 0).all()  # zero fill past the right edge
+        out = r.read((0, 35, 10, 10))[..., 0]
+        np.testing.assert_array_equal(out[:5], a[35:, :10])
+        assert (out[5:] == 0).all()  # zero fill past the bottom
+
+    def test_confusion_masks_out_of_range_labels(self):
+        from srbh_tpu.metrics.streaming import SegmentationMetric
+
+        m = SegmentationMetric(3)
+        m.add_batch(np.array([0, 1, 2, 0]), np.array([0, 1, -1, 3]))
+        assert m.cm.dtype == np.float64
+        assert m.cm.sum() == 2  # the -1 and 3 labels are dropped
+        assert m.cm[0, 0] == 1 and m.cm[1, 1] == 1
+
+    def test_height_metric_float64_totals(self):
+        from srbh_tpu.metrics.streaming import HeightMetric
+
+        m = HeightMetric(2)
+        pred = np.full((1, 8, 8), 3.0, np.float32)
+        ref = np.full((1, 8, 8), 1.0, np.float32)
+        cls = np.zeros((1, 8, 8), np.int32)
+        for _ in range(3):
+            m.add_batch(pred, ref, cls)
+        assert m.counts.dtype == np.float64
+        assert m.counts[0, 0] == 3 * 64
+        # rmse/mae/me all exactly 2.0 for the constant offset
+        np.testing.assert_allclose(m.avg_each()[0], [2.0, 2.0, 2.0],
+                                   atol=1e-6)
+
+    def test_grid_shuffle_odd_size_keeps_border(self):
+        from srbh_tpu.data.augment import grid_shuffle_2x2
+
+        rng = np.random.default_rng(0)
+        img = rng.random((65, 65, 3)).astype(np.float32)
+        mask = rng.random((65, 65)).astype(np.float32)
+        img2, mask2 = grid_shuffle_2x2(rng, img, mask)
+        # the odd last row/col are outside the 2x2 cells: must carry input
+        np.testing.assert_array_equal(img2[64], img[64])
+        np.testing.assert_array_equal(img2[:, 64], img[:, 64])
+        np.testing.assert_array_equal(mask2[64], mask[64])
+
+    def test_addabspath_idempotent(self, tmp_path):
+        from srbh_tpu.data.datalist import addabspath
+
+        f = tmp_path / "datalist_china.csv"
+        pd.DataFrame({0: ["a.tif", "b.tif"]}).to_csv(f, header=False,
+                                                     index=False)
+        addabspath(str(tmp_path), "china", flist=[f])
+        n1 = len(pd.read_csv(f, header=None).columns)
+        addabspath(str(tmp_path), "china", flist=[f])
+        n2 = len(pd.read_csv(f, header=None).columns)
+        assert n1 == n2 == 7
