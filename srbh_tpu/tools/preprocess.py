@@ -57,12 +57,12 @@ def shp2tif(shp_path: str, ref_tif: str, out_tif: str,
             px = (ring[:, 0] - gt[0]) * inv_px
             py = (gt[3] - ring[:, 1]) * inv_py
             polys.append(np.stack([px, py], -1).round().astype(np.int32))
-        mask = np.zeros((h, w), np.uint8)
-        cv2.fillPoly(mask, polys, 1)
+        # burn directly onto the canvas: a per-record full-frame mask would
+        # make city-scale footprint rasterisation O(records * H * W)
+        cv2.fillPoly(canvas, polys, float(value))
         if all_touched:
             for poly in polys:
-                cv2.polylines(mask, [poly], True, 1)
-        canvas[mask > 0] = float(value)
+                cv2.polylines(canvas, [poly], True, float(value))
     out = canvas.astype(dtype)
     write_tiff(out_tif, out, geotransform=gt, like=ref.info(),
                compress="DEFLATE")
@@ -95,9 +95,7 @@ def shp_to_tiff(shp_file: str, output_tiff: str, attribute: str = "class",
             px = (ring[:, 0] - xmin) * inv
             py = (ymax - ring[:, 1]) * inv
             polys.append(np.stack([px, py], -1).round().astype(np.int32))
-        mask = np.zeros((h, w), np.uint8)
-        cv2.fillPoly(mask, polys, 1)
-        canvas[mask > 0] = float(value)
+        cv2.fillPoly(canvas, polys, float(value))
     out = canvas.astype(dtype)
     gt = (xmin, nresolution, 0.0, ymax, 0.0, -nresolution)
     write_tiff(output_tiff, out, geotransform=gt, compress="DEFLATE",
@@ -121,6 +119,10 @@ def clip_tiff_by_tiff(src_tif: str, extent_tif: str, out_tif: str,
     xoff, yoff = max(0, xoff), max(0, yoff)
     xcount = min(xcount, src.width - xoff)
     ycount = min(ycount, src.height - yoff)
+    if xcount <= 0 or ycount <= 0:
+        raise ValueError(
+            f"{extent_tif} does not overlap {src_tif} "
+            f"(window {xoff},{yoff} size {xcount}x{ycount})")
     data = src.read((xoff, yoff, xcount, ycount))
     gt = (sgt[0] + xoff * sgt[1], sgt[1], 0.0,
           sgt[3] + yoff * sgt[5], 0.0, sgt[5])
@@ -160,8 +162,16 @@ def mosaic_rasters(tif_paths: Sequence[str], out_tif: str,
     h = int(round((min(ys) - y0) / py))
     canvas = np.full((h, w, readers[0].spp), nodata,
                      readers[0].dtype.newbyteorder("="))
-    for r in readers:
+    for pth, r in zip(tif_paths, readers):
         g = r.geotransform
+        if (abs(g[1] - px) > 1e-9 * abs(px)
+                or abs(g[5] - py) > 1e-9 * abs(py)):
+            raise ValueError(
+                f"{pth}: resolution {g[1]}x{g[5]} differs from the mosaic "
+                f"grid {px}x{py}; resample first (tools.products.warp_raster"
+                " or VirtualMosaic handle mixed grids)")
+        if r.spp != readers[0].spp:
+            raise ValueError(f"{pth}: {r.spp} bands != {readers[0].spp}")
         cx = int(round((g[0] - x0) / px))
         cy = int(round((g[3] - y0) / py))
         data = r.read()

@@ -46,10 +46,16 @@ def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
 
         payload["opt_state"] = jax.device_get(
             serialization.to_state_dict(state.opt_state))
+    # crash-safe replace: write to a temp dir first so an interrupted save
+    # never destroys the only live resume state
     path = os.path.abspath(os.path.join(logdir, "checkpoint"))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _ckptr().save(tmp, payload)
     if os.path.exists(path):
         shutil.rmtree(path)
-    _ckptr().save(path, payload)
+    os.replace(tmp, path)
     if snapshot_every and epoch % snapshot_every == 0:
         snap = os.path.abspath(os.path.join(logdir, f"checkpoint{epoch}"))
         if os.path.exists(snap):

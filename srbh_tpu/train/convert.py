@@ -94,15 +94,29 @@ def convert_rrdbnet(sd: Mapping, num_block: int = 23) -> dict:
 
 def convert_unet_discriminator_sn(sd: Mapping) -> dict:
     """UNetDiscriminatorSN (SR/rrdbnet_arch.py:244-303): conv0/conv9 plain,
-    conv1..conv8 spectral-normalised (weight_orig)."""
+    conv1..conv8 spectral-normalised. The checkpoint's ``weight_u`` seeds
+    flax SpectralNorm's power-iteration state (torch's u over W=(cout, -1)
+    is flax's u over the transposed matrix), and sigma is recomputed from
+    (W, u) so the first converted forward matches the torch scaling."""
     params: dict = {"conv0": _conv(sd, "conv0"), "conv9": _conv(sd, "conv9")}
+    stats: dict = {}
     for i in range(1, 9):
-        w = np.asarray(sd[f"conv{i}.weight_orig"]).transpose(2, 3, 1, 0)
-        params[f"conv{i}"] = {"kernel": w}
-    return {"params": params}
+        w_t = np.asarray(sd[f"conv{i}.weight_orig"])  # (cout, cin, kh, kw)
+        params[f"conv{i}"] = {"kernel": w_t.transpose(2, 3, 1, 0)}
+        u = np.asarray(sd[f"conv{i}.weight_u"]).reshape(-1)
+        mat = w_t.reshape(w_t.shape[0], -1)  # (cout, cin*k*k)
+        v = mat.T @ u
+        v = v / (np.linalg.norm(v) + 1e-12)
+        sigma = float(u @ (mat @ v))
+        stats[f"conv{i}_sn"] = {
+            f"conv{i}/kernel/sigma": np.asarray(sigma, np.float32),
+            f"conv{i}/kernel/u": u[None, :].astype(np.float32),
+        }
+    return {"params": params, "batch_stats": stats}
 
 
-def convert_swinir(sd: Mapping, depths=(6, 6, 6, 6)) -> dict:
+def convert_swinir(sd: Mapping, depths=(6, 6, 6, 6),
+                   upsampler: str = "pixelshuffle") -> dict:
     """SwinIR (SR/network_swinir.py): layers.N.residual_group.blocks.M.* ->
     layerN.blockM.*; linear weights transposed; biases/tables copied."""
     p: dict = {}
@@ -140,16 +154,19 @@ def convert_swinir(sd: Mapping, depths=(6, 6, 6, 6)) -> dict:
             p[name] = _conv(sd, name)
     if "conv_before_upsample.0.weight" in sd:
         p["conv_before_upsample"] = _conv(sd, "conv_before_upsample.0")
-    # classical-SR Upsample Sequential / lightweight UpsampleOneStep
-    idx = 0
-    ups = {}
-    while f"upsample.{idx * 2}.weight" in sd:
-        ups[f"conv_{idx}"] = _conv(sd, f"upsample.{idx * 2}")
-        idx += 1
-    if ups:
-        p["upsample"] = ups
-    if "upsample.0.weight" in sd and not ups:
-        p["upsample_conv"] = _conv(sd, "upsample.0")
+    # classical-SR Upsample Sequential vs lightweight UpsampleOneStep:
+    # both store "upsample.0.weight", so the upsampler type disambiguates
+    if upsampler == "pixelshuffledirect":
+        if "upsample.0.weight" in sd:
+            p["upsample_conv"] = _conv(sd, "upsample.0")
+    else:
+        idx = 0
+        ups = {}
+        while f"upsample.{idx * 2}.weight" in sd:
+            ups[f"conv_{idx}"] = _conv(sd, f"upsample.{idx * 2}")
+            idx += 1
+        if ups:
+            p["upsample"] = ups
     return {"params": p}
 
 

@@ -42,9 +42,13 @@ def save_sr_checkpoint(logdir: str, state: GANTrainState, epoch: int):
                    "epoch": epoch, "current_iter": int(state.step)}),
     ):
         path = os.path.abspath(os.path.join(logdir, name))
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ocp.PyTreeCheckpointer().save(tmp, payload)
         if os.path.exists(path):
             shutil.rmtree(path)
-        ocp.PyTreeCheckpointer().save(path, payload)
+        os.replace(tmp, path)  # crash-safe replace
     return os.path.join(logdir, "net_g")
 
 
@@ -87,7 +91,7 @@ def eval_sr(trainer: RealESRGANTrainer, state: GANTrainState,
     fn = jax.jit(lambda s, x: apply(s, x))
     psnrs, ssims, cpsnrs = [], [], []
     for bi, batch in enumerate(loader):
-        if max_batches and bi >= max_batches:
+        if max_batches is not None and bi >= max_batches:
             break
         out = np.asarray(fn(state, jnp.asarray(batch["lq"])))
         gt = np.asarray(batch["gt"])
@@ -97,8 +101,11 @@ def eval_sr(trainer: RealESRGANTrainer, state: GANTrainState,
             psnrs.append(calculate_psnr(o, g))
             ssims.append(calculate_ssim(o, g))
             cpsnrs.append(calculate_cpsnr(o, g))
-    res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-           "cpsnr": float(np.mean(cpsnrs))}
+    if not psnrs:  # empty loader / max_batches=0: report empty, not NaN
+        res = {"psnr": 0.0, "ssim": 0.0, "cpsnr": 0.0}
+    else:
+        res = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+               "cpsnr": float(np.mean(cpsnrs))}
     if txtpath:
         with open(txtpath, "w") as f:
             # reference schema (weights/realesrgan/acc2.txt): header then

@@ -92,6 +92,8 @@ class RealESRGANTrainer:
                              num_grow_ch=num_grow_ch, dtype=dtype)
         self.net_d = UNetDiscriminatorSN(num_feat=disc_feat, dtype=dtype)
         self.vgg = VGG19Features(dtype=dtype) if perceptual else None
+        self.out_ch, self.scale = out_ch, scale
+        self.vgg_variables = None  # set by init(); make_step requires it
         self.ema_decay = ema_decay
         self.gan_weight = gan_weight
         self.schedule = multistep_lr(lr, milestones, warmup_iter=warmup_iter)
@@ -102,10 +104,12 @@ class RealESRGANTrainer:
              g_params: Optional[dict] = None) -> GANTrainState:
         k1, k2, k3 = jax.random.split(rng, 3)
         lq = jnp.zeros(lq_shape)
-        gt_shape = (lq_shape[0], lq_shape[1] * 4, lq_shape[2] * 4, 3)
-        g_vars = jax.jit(self.net_g.init)(k1, lq)
-        if g_params is not None:
+        gt_shape = (lq_shape[0], lq_shape[1] * self.scale,
+                    lq_shape[2] * self.scale, self.out_ch)
+        if g_params is not None:  # finetune path: skip the expensive init
             g_vars = {"params": g_params}
+        else:
+            g_vars = jax.jit(self.net_g.init)(k1, lq)
         d_vars = jax.jit(self.net_d.init)(k2, jnp.zeros(gt_shape))
         self.vgg_variables = vgg_variables
         if self.vgg is not None and vgg_variables is None:
@@ -124,6 +128,11 @@ class RealESRGANTrainer:
 
     def make_step(self):
         net_g, net_d, vgg = self.net_g, self.net_d, self.vgg
+        if self.vgg is not None and self.vgg_variables is None:
+            raise RuntimeError(
+                "make_step before init(): the perceptual VGG variables are "
+                "created by init(); call init() (or pass vgg_variables to "
+                "it) before building the step")
         vgg_vars = self.vgg_variables
         gan_w, ema_decay = self.gan_weight, self.ema_decay
 

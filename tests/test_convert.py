@@ -107,12 +107,19 @@ class TestStructuralRoundtrips:
         sd["conv9.weight"] = np.asarray(p["conv9"]["kernel"]).transpose(3, 2, 0, 1)
         sd["conv9.bias"] = np.asarray(p["conv9"]["bias"])
         for i in range(1, 9):
-            sd[f"conv{i}.weight_orig"] = np.asarray(
-                p[f"conv{i}"]["kernel"]).transpose(3, 2, 0, 1)
+            k = np.asarray(p[f"conv{i}"]["kernel"])
+            sd[f"conv{i}.weight_orig"] = k.transpose(3, 2, 0, 1)
+            u = rng.normal(size=(k.shape[-1],)).astype(np.float32)
+            sd[f"conv{i}.weight_u"] = u / np.linalg.norm(u)
         back = convert.convert_unet_discriminator_sn(sd)
-        # converted params + fresh SN stats run
-        merged = {"params": back["params"], "batch_stats": v["batch_stats"]}
-        out = m.apply(merged, jnp.zeros((1, 32, 32, 3)))
+        # the converter now carries the checkpoint's SN power-iteration
+        # state: u seeds flax SpectralNorm and sigma is recomputed from it
+        assert "batch_stats" in back
+        np.testing.assert_allclose(
+            np.asarray(back["batch_stats"]["conv1_sn"]["conv1/kernel/u"])[0],
+            sd["conv1.weight_u"], atol=1e-6)
+        assert float(back["batch_stats"]["conv1_sn"]["conv1/kernel/sigma"]) > 0
+        out = m.apply(back, jnp.zeros((1, 32, 32, 3)))
         assert out.shape == (1, 32, 32, 1)
 
     def test_height_model_conversion_structure(self):
