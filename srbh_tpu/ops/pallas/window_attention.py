@@ -162,7 +162,10 @@ def window_attention_auto(q, k, v, bias, mask=None,
                           interpret: bool = False):
     """Pallas when shapes allow, XLA otherwise."""
     h, b_, n, d = q.shape
-    usable = (HAVE_PALLAS and b_ % chunk == 0
+    # Mosaic lowering needs a real TPU backend (pallas imports fine on CPU
+    # but fails at lowering unless interpret=True)
+    on_tpu = jax.default_backend() == "tpu" or interpret
+    usable = (HAVE_PALLAS and on_tpu and b_ % chunk == 0
               and (mask is None or mask.shape[0] % chunk == 0
                    or chunk % mask.shape[0] == 0))
     if usable:

@@ -192,7 +192,11 @@ def main(batch: int = 256, only=None):
         print(f"{name:9s} {ms:8.2f} ms/batch  ({batch / (ms / 1000):7.1f} t/s)",
               flush=True)
     if "full" in results and len(results) > 1:
-        parts = sum(v for k, v in results.items() if k != "full")
+        # only the literal pipeline stages sum to "full"; the packed/grouped
+        # experiment stages are alternative implementations, not parts
+        literal = ("trunk", "encoder", "decoders", "hrfeat", "heads",
+                   "aggre", "postproc")
+        parts = sum(v for k, v in results.items() if k in literal)
         print(f"{'sum':9s} {parts:8.2f} ms/batch (vs full {results['full']:.2f})")
     print(json.dumps({"batch": batch, "ms": results}))
 

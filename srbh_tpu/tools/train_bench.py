@@ -37,7 +37,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 REPEATS = 3
 
 
-def main(batch: int = 64, chain: int = 4):
+def main(batch: int = 128, chain: int = 4):
     from srbh_tpu import models
     from srbh_tpu.train.state import TrainState
     from srbh_tpu.train.steps import make_train_step

@@ -34,6 +34,8 @@ class StepTimer:
 
     def stop(self) -> float:
         """End a step; returns the smoothed items/sec."""
+        if self._t0 is None:
+            raise RuntimeError("StepTimer.stop() before start()")
         if self.sync is not None:
             self.sync()
         dt = time.perf_counter() - self._t0
