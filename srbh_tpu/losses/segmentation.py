@@ -123,6 +123,66 @@ def gdice_loss(logits, labels, smooth: float = 1e-5):
     return divided.mean()
 
 
+def gdice_loss_v2(logits, labels, smooth: float = 1e-5):
+    """GDiceLossV2 (dice_loss.py:143-190): class weights pooled over the
+    WHOLE batch (the reference flattens to (C, N*H*W)), ``1/sum^2`` clamped
+    at ``smooth``, and one global ``-2 I / D`` ratio — unlike
+    :func:`gdice_loss`, which forms a per-sample dice and averages."""
+    probs = jax.nn.softmax(logits, -1)
+    onehot = _one_hot(labels, logits.shape[-1])
+    c = probs.shape[-1]
+    inp = probs.reshape(-1, c).T  # (C, M)
+    tgt = onehot.reshape(-1, c).T
+    tsum = tgt.sum(-1)
+    w = 1.0 / jnp.clip(tsum * tsum, smooth)
+    intersect = ((inp * tgt).sum(-1) * w).sum()
+    denom = ((inp + tgt).sum(-1) * w).sum()
+    return -2.0 * intersect / jnp.clip(denom, smooth)
+
+
+def penalty_gdice_loss(logits, labels, k: float = 2.5, smooth: float = 1e-5):
+    """PenaltyGDiceLoss (dice_loss.py:445-459): ``gdc / (1 + k (1 - gdc))``
+    over the generalised dice loss."""
+    gdc = gdice_loss(logits, labels, smooth)
+    return gdc / (1.0 + k * (1.0 - gdc))
+
+
+def edts_penalized_map(mask: np.ndarray) -> np.ndarray:
+    """compute_edts_forPenalizedLoss (ND_Crossentropy.py:151-165, identical
+    copy at boundary_loss.py:175-190): per-sample boundary-decaying weight in
+    [0, 1] on both sides — ``(max-EDT)*mask / max`` of the foreground plus
+    the same of the background. Host-side (no device EDT); feed the result
+    to :func:`dist_penalized_ce` (+0 — it adds the 1 itself) or +1.0 to
+    :func:`dist_binary_dice_loss` as the reference does."""
+    from scipy.ndimage import distance_transform_edt
+
+    mask = np.asarray(mask).astype(bool)
+    res = np.zeros(mask.shape, np.float32)
+    for i in range(mask.shape[0]):
+        pos, neg = mask[i], ~mask[i]
+        pe = distance_transform_edt(pos)
+        pe = (pe.max() - pe) * pos
+        ne = distance_transform_edt(neg)
+        ne = (ne.max() - ne) * neg
+        if pe.max() > 0:
+            res[i] += pe / pe.max()
+        if ne.max() > 0:
+            res[i] += ne / ne.max()
+    return res
+
+
+def dist_binary_dice_loss(logits, labels, dist, smooth: float = 1e-5):
+    """DistBinaryDiceLoss (boundary_loss.py:192-241): binary dice whose TP
+    sum is weighted by ``dist`` (= ``edts_penalized_map(gt > 0) + 1``);
+    returns the negative mean dice like the reference."""
+    probs = jax.nn.softmax(logits, -1)[..., 1]
+    gt = (labels > 0).astype(probs.dtype)
+    axes = tuple(range(1, probs.ndim))
+    tp = jnp.sum(probs * gt * dist, axes)
+    dc = (2 * tp + smooth) / (jnp.sum(probs, axes) + jnp.sum(gt, axes) + smooth)
+    return -dc.mean()
+
+
 def focal_loss(logits, labels, alpha=None, gamma: float = 2.0,
                balance_index: int = 0, smooth: float = 1e-5):
     """FocalLoss (focal_loss.py:7-93): -alpha_t (1 - p_t)^gamma log(p_t) with
@@ -313,6 +373,22 @@ def bce_ssim_iou_loss(logits, target01, data_range: float = 1.0):
     ssim = _ssim_loss(prob, t, data_range=data_range)
     iou = _binary_iou(prob, t)
     return bce + ssim + iou
+
+
+def bce_iou_loss(logits, target01):
+    """BCE + per-image IoU on binary maps (myloss.py:38-53 BCE_IOU)."""
+    prob = jax.nn.sigmoid(logits)
+    t = target01.astype(prob.dtype)
+    return _bce_with_logits(logits, t) + _binary_iou(prob, t)
+
+
+def bce_ssim_loss(logits, target01, data_range: float = 1.0):
+    """BCE + (1 - SSIM) on binary maps (myloss.py:55-70 BCE_SSIM)."""
+    from srbh_tpu.losses.ssim_loss import ssim_loss as _ssim_loss
+
+    prob = jax.nn.sigmoid(logits)
+    t = target01.astype(prob.dtype)
+    return _bce_with_logits(logits, t) + _ssim_loss(prob, t, data_range=data_range)
 
 
 def bce_dice_loss(logits, target01):

@@ -18,8 +18,8 @@ from srbh_tpu.ops.ssim import _filter_valid, _window
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
-def _ssim_and_cs(x, y, data_range: float, win_size: int = 11,
-                 win_sigma: float = 1.5, k=(0.01, 0.03)):
+def _ssim_maps(x, y, data_range: float, win_size: int = 11,
+               win_sigma: float = 1.5, k=(0.01, 0.03)):
     c1 = (k[0] * data_range) ** 2
     c2 = (k[1] * data_range) ** 2
     window = _window(win_size, win_sigma)
@@ -30,6 +30,12 @@ def _ssim_and_cs(x, y, data_range: float, win_size: int = 11,
     s12 = _filter_valid(x * y, window) - mu1_mu2
     cs_map = (2 * s12 + c2) / (s1 + s2 + c2)
     ssim_map = ((2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)) * cs_map
+    return ssim_map, cs_map
+
+
+def _ssim_and_cs(x, y, data_range: float, win_size: int = 11,
+                 win_sigma: float = 1.5, k=(0.01, 0.03)):
+    ssim_map, cs_map = _ssim_maps(x, y, data_range, win_size, win_sigma, k)
     return ssim_map.mean(axis=(1, 2, 3)), cs_map.mean(axis=(1, 2, 3))
 
 
@@ -45,6 +51,16 @@ def ssim(x, y, data_range: float = 255.0, nonnegative: bool = False,
 def ssim_loss(x, y, data_range: float = 255.0, nonnegative: bool = False):
     """1 - mean SSIM (fastssim.py:248-288)."""
     return 1.0 - ssim(x, y, data_range, nonnegative).mean()
+
+
+def log_ssim_loss(x, y, data_range: float = 255.0, win_size: int = 11,
+                  win_sigma: float = 1.5):
+    """LOGSSIM (losses_pytorch/ssim_loss.py:68-117): min-max-normalise the
+    SSIM map to [0, 1] over the whole batch, then mean ``-log(map + 1e-8)``
+    — penalises the worst-structured regions far harder than ``1 - SSIM``."""
+    smap, _ = _ssim_maps(x, y, data_range, win_size, win_sigma)
+    smap = (smap - smap.min()) / (smap.max() - smap.min())
+    return jnp.mean(-jnp.log(smap + 1e-8))
 
 
 def _avg_pool2(x):

@@ -209,3 +209,83 @@ class TestTorchParityOracles:
             for i in range(4)]))
         got_iou = float(seg._binary_iou(jnp.asarray(p), jnp.asarray(g)))
         assert abs(ref_iou - got_iou) < 1e-6
+
+
+class TestLongTailLosses:
+    """The last reference losses: GDiceLossV2, PenaltyGDice, DistBinaryDice,
+    BCE_IOU / BCE_SSIM, LOGSSIM."""
+
+    def test_gdice_v2_matches_torch_reference(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(7)
+        logits = rng.normal(size=(3, 8, 8, 4)).astype(np.float32)
+        labels = rng.randint(0, 4, (3, 8, 8))
+        # verbatim torch port of GDiceLossV2 (dice_loss.py:143-190)
+        probs = torch.softmax(torch.from_numpy(logits.transpose(0, 3, 1, 2)), 1)
+        onehot = torch.nn.functional.one_hot(
+            torch.from_numpy(labels).long(), 4).permute(0, 3, 1, 2).float()
+        inp = probs.permute(1, 0, 2, 3).reshape(4, -1)
+        tgt = onehot.permute(1, 0, 2, 3).reshape(4, -1)
+        tsum = tgt.sum(-1)
+        w = 1.0 / (tsum * tsum).clamp(min=1e-5)
+        inter = ((inp * tgt).sum(-1) * w).sum()
+        denom = (((inp + tgt).sum(-1) * w).sum()).clamp(min=1e-5)
+        ref = float(-2.0 * inter / denom)
+        got = float(seg.gdice_loss_v2(jnp.asarray(logits), jnp.asarray(labels)))
+        assert abs(ref - got) < 1e-5
+
+    def test_penalty_gdice_formula(self):
+        logits, labels = rand_batch(5)
+        gdc = float(seg.gdice_loss(logits, labels))
+        want = gdc / (1 + 2.5 * (1 - gdc))
+        got = float(seg.penalty_gdice_loss(logits, labels))
+        assert abs(want - got) < 1e-6
+        # a perfect prediction keeps gdc ~ -1 -> penalty ~ -1/6
+        perfect = jax.nn.one_hot(labels, logits.shape[-1]) * 100.0
+        assert abs(float(seg.penalty_gdice_loss(perfect, labels)) + 1 / 6) < 1e-2
+
+    def test_dist_binary_dice_matches_reference_math(self):
+        pytest.importorskip("scipy")
+        rng = np.random.RandomState(9)
+        labels = np.zeros((2, 12, 12), np.int64)
+        labels[0, 3:9, 3:9] = 1
+        labels[1, 1:5, 6:11] = 1
+        logits = rng.normal(size=(2, 12, 12, 2)).astype(np.float32)
+        dist = seg.edts_penalized_map(labels > 0) + 1.0
+        # numpy port of DistBinaryDiceLoss.forward (boundary_loss.py:192-241)
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        probs = (e / e.sum(-1, keepdims=True))[..., 1]
+        gt = (labels > 0).astype(np.float64)
+        tp = (probs * gt * dist).sum((1, 2))
+        dc = (2 * tp + 1e-5) / (probs.sum((1, 2)) + gt.sum((1, 2)) + 1e-5)
+        ref = float(-dc.mean())
+        got = float(seg.dist_binary_dice_loss(
+            jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(dist)))
+        assert abs(ref - got) < 1e-5
+        # weight map: 1 at boundaries decaying to 0 inward, per side
+        assert dist.min() >= 1.0 and dist.max() <= 2.0 + 1e-6
+
+    def test_bce_composites_decompose(self):
+        rng = np.random.default_rng(11)
+        logits = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+        t = jnp.asarray((rng.random((2, 32, 32, 1)) > 0.5).astype(np.float32))
+        bce = float(seg._bce_with_logits(logits, t))
+        iou = float(seg._binary_iou(jax.nn.sigmoid(logits), t))
+        assert float(seg.bce_iou_loss(logits, t)) == pytest.approx(
+            bce + iou, abs=1e-6)
+        got_ssim = float(seg.bce_ssim_loss(logits, t)) - bce
+        assert 0 < got_ssim < 1.2  # 1 - SSIM of noise vs mask
+        # the 3-term composite = BCE_SSIM + IOU exactly (myloss.py:20-35)
+        assert float(seg.bce_ssim_iou_loss(logits, t)) == pytest.approx(
+            float(seg.bce_ssim_loss(logits, t)) + iou, abs=1e-6)
+
+    def test_log_ssim_loss(self):
+        rng = np.random.default_rng(13)
+        x = rng.uniform(0, 255, (1, 32, 32, 1)).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 25, x.shape), 0, 255).astype(np.float32)
+        v = float(sl.log_ssim_loss(jnp.asarray(x), jnp.asarray(y)))
+        assert np.isfinite(v) and v > 0
+        # worse structure -> larger penalty than 1-ssim on the same pair
+        z = rng.uniform(0, 255, x.shape).astype(np.float32)
+        v2 = float(sl.log_ssim_loss(jnp.asarray(x), jnp.asarray(z)))
+        assert v2 > 0
