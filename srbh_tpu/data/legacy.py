@@ -112,6 +112,84 @@ class WholeImageDataset:
                 "pos": np.array([xoff, yoff, xcount, ycount], np.int32)}
 
 
+def _load_label(labpath: str) -> np.ndarray:
+    lab = cv2.imread(labpath, cv2.IMREAD_UNCHANGED)
+    if lab is None:  # non-png labels go through the own codec
+        lab = read_tiff(labpath)
+        lab = lab[..., 0] if lab.ndim == 3 else lab
+    return lab
+
+
+def _scale_pair(img: np.ndarray, lab: np.ndarray, scale: float):
+    if scale != 1.0:
+        h, w = img.shape[:2]
+        img = cv2.resize(img, (int(w * scale), int(h * scale)),
+                         interpolation=cv2.INTER_LINEAR)
+        lab = cv2.resize(lab, (int(w * scale), int(h * scale)),
+                         interpolation=cv2.INTER_NEAREST)
+    return img, lab
+
+
+def preprocess_imglab(testlist: pd.DataFrame, idx: int, scale: float = 1.0):
+    """Single-sample loader (utils/preprocess.py:11-24): row = (img, label)
+    paths; returns (image /255 as (1, H, W, C) float32, (1, H, W) label,
+    raw image). NHWC instead of the reference's NCHW tensor."""
+    img = read_tiff(testlist.iloc[idx, 0])
+    lab = _load_label(testlist.iloc[idx, 1])
+    x = (img.astype(np.float32) / 255.0)
+    x, lab = _scale_pair(x, lab, scale)
+    return x[None], lab[None], img
+
+
+def preprocess_s12lab(testlist: pd.DataFrame, idx: int, scale: float = 1.0):
+    """S2+S1 pair loader (utils/preprocess.py:26-44): the S1 tile lives in
+    the sibling ``sen1/`` dir under the same basename; channels concat."""
+    s2_path = testlist.iloc[idx, 0]
+    root = os.path.dirname(os.path.dirname(s2_path))
+    base = os.path.basename(s2_path)
+    s2 = read_tiff(s2_path)
+    s1 = read_tiff(os.path.join(root, "sen1", base))
+    img = np.concatenate([s2, s1], axis=-1)
+    lab = _load_label(testlist.iloc[idx, 1])
+    x = img.astype(np.float32) / 255.0
+    x, lab = _scale_pair(x, lab, scale)
+    return x[None], lab[None], img
+
+
+def preprocess_tlclab(testlist: pd.DataFrame, idx: int, scale: float = 1.0):
+    """Image+TLC loader (utils/preprocess.py:47-73): the true-colour
+    companion is ``tlc/tlc<suffix>`` next to the image dir; returns the
+    first three normalised channels as the preview."""
+    img_path = testlist.iloc[idx, 0]
+    name = os.path.basename(img_path)
+    root = os.path.dirname(os.path.dirname(img_path))
+    img = read_tiff(img_path)
+    tlc = read_tiff(os.path.join(root, "tlc", "tlc" + name[3:]))
+    img = np.concatenate([img, tlc], axis=-1)
+    lab = _load_label(testlist.iloc[idx, 1])
+    x = img.astype(np.float32) / 255.0
+    x, lab = _scale_pair(x, lab, scale)
+    return x[None], lab[None], x[..., :3]
+
+
+def preprocess_t1t2(testlist: pd.DataFrame, idx: int, scale: float = 1.0):
+    """Bi-temporal loader (utils/preprocess.py:76-103): img1+tlc1+img2+tlc2
+    stacks from sibling dirs, label at ``lab/lab<suffix>.png``."""
+    img_path = testlist.iloc[idx, 0]
+    base = os.path.basename(img_path)[:-4]
+    root = os.path.dirname(os.path.dirname(img_path))
+    parts = [read_tiff(img_path),
+             read_tiff(os.path.join(root, "tlc1", base + ".tif")),
+             read_tiff(os.path.join(root, "img2", base + ".tif")),
+             read_tiff(os.path.join(root, "tlc2", base + ".tif"))]
+    # reference order: img1, tlc1, img2, tlc2 (utils/preprocess.py:89)
+    img = np.concatenate([parts[0], parts[1], parts[2], parts[3]], axis=-1)
+    lab = _load_label(os.path.join(root, "lab", "lab" + base[3:] + ".png"))
+    x = img.astype(np.float32) / 255.0
+    x, lab = _scale_pair(x, lab, scale)
+    return x[None], lab[None], x[..., :3]
+
+
 def load_whole_s12(rootname: str, cityname: str, datastats: str,
                    normmethod: str = "minmax", datarange=(0, 1),
                    grid: int = 1024, stride: int = 24,

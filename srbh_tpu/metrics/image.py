@@ -139,6 +139,72 @@ def calculate_cpsnr(
     return 10.0 * np.log10(255.0 * 255.0 / best_mse)
 
 
+# ------------------------------------------------------- device (_pt) twins
+#
+# The reference's torch batched variants (SR/psnr_ssim.py:203-232, 283-318,
+# 443-490) take NCHW tensors in [0, 1]; these jittable twins take NHWC jax
+# arrays in [0, 1] and return per-image (psnr/ssim) or scalar (cpsnr) values.
+
+def _prepare_pt(img, img2, crop_border: int, test_y_channel: bool):
+    import jax.numpy as jnp
+
+    from srbh_tpu.ops.ssim import rgb_to_y
+
+    if img.shape != img2.shape:
+        raise ValueError(f"Image shapes differ: {img.shape} vs {img2.shape}")
+    if crop_border != 0:
+        img = img[:, crop_border:-crop_border, crop_border:-crop_border, :]
+        img2 = img2[:, crop_border:-crop_border, crop_border:-crop_border, :]
+    if test_y_channel:
+        img, img2 = rgb_to_y(img), rgb_to_y(img2)
+    return jnp.asarray(img, jnp.float32), jnp.asarray(img2, jnp.float32)
+
+
+def calculate_psnr_pt(img, img2, crop_border: int = 0,
+                      test_y_channel: bool = False, **kwargs):
+    """Batched device PSNR on [0, 1] NHWC images -> (N,) values
+    (SR/psnr_ssim.py:203-232: ``10 log10(1 / (mse + 1e-8))``)."""
+    import jax.numpy as jnp
+
+    img, img2 = _prepare_pt(img, img2, crop_border, test_y_channel)
+    mse = jnp.mean((img - img2) ** 2, axis=(1, 2, 3))
+    return 10.0 * jnp.log10(1.0 / (mse + 1e-8))
+
+
+def calculate_ssim_pt(img, img2, crop_border: int = 0,
+                      test_y_channel: bool = False, **kwargs):
+    """Batched device SSIM on [0, 1] NHWC images -> (N,) values
+    (SR/psnr_ssim.py:283-318: valid-window Gaussian SSIM at the x255 scale)."""
+    from srbh_tpu.ops.ssim import ssim as _device_ssim
+
+    img, img2 = _prepare_pt(img, img2, crop_border, test_y_channel)
+    return _device_ssim(img * 255.0, img2 * 255.0)
+
+
+def calculate_cpsnr_pt(img, img2, crop_border: int = 0,
+                       test_y_channel: bool = False, **kwargs):
+    """Batched device cPSNR on [0, 1] NHWC images -> scalar
+    (SR/psnr_ssim.py:443-490): best whole-batch MSE over the 9x9 offset grid
+    with a per-channel whole-batch bias correction. Note the reference quirk
+    kept here: inputs are [0, 1] but the numerator is 255^2."""
+    import jax.numpy as jnp
+
+    img, img2 = _prepare_pt(img, img2, crop_border, test_y_channel)
+    max_offset = 8
+    h, w = img.shape[1], img.shape[2]
+    ch, cw = h - max_offset, w - max_offset
+    mses = []
+    for ro in range(max_offset + 1):
+        for co in range(max_offset + 1):
+            a = img[:, ro: ro + ch, co: co + cw, :]
+            b = img2[:, max_offset - ro: max_offset - ro + ch,
+                     max_offset - co: max_offset - co + cw, :]
+            bias = jnp.mean(a - b, axis=(0, 1, 2), keepdims=True)
+            mses.append(jnp.mean(jnp.square(a - (b + bias))))
+    best = jnp.min(jnp.stack(mses))
+    return 10.0 * jnp.log10(255.0 * 255.0 / best)
+
+
 def _blocking_effect_factor(im: np.ndarray, block_size: int = 8) -> float:
     """Blocking-effect factor of a (H, W) [0,1] image
     (SR/util_calculate_psnr_ssim.py:127-164).

@@ -177,6 +177,25 @@ ClassificationMetric = SegmentationMetric
 MultilabelMetric = SegmentationMetric
 
 
+def plot_confusionmatrix(cm):
+    """Console matrix dump, 3-decimal space-separated (metrics.py:335-341)."""
+    for row in np.asarray(cm):
+        print(" ".join(f"{v:.3f}" for v in row))
+
+
+def accprint(metric: SegmentationMetric):
+    """Console dump for the classification metric (metrics.py:292-309):
+    the f1/ua/pa block and the transposed confusion matrix (no iou lines —
+    they are commented out in the reference)."""
+    print("oa, miou, iou, f1, ua, pa, confusion_matrix")
+    print()
+    plot_confusionmatrix(
+        np.vstack([metric.f1(), metric.precision(), metric.recall()]))
+    cm = metric.confusion_matrix().T
+    plot_confusionmatrix(cm)
+    print(f"numtotal: {int(cm.sum())}")
+
+
 def accprint_seg(metric: SegmentationMetric):
     """Console dump (metrics.py:311-333): oa/miou/iou + f1/ua/pa + cm.T."""
     print("oa, miou, iou, f1, ua, pa, confusion_matrix")

@@ -17,6 +17,26 @@ def acc2file_rmse(meter, txtpath: str):
         f.write(str(meter.avg))
 
 
+def acc2file_cls(metric, txtpath: str):
+    """Classification txt (metrics.py:344-380): oa, f1/ua/pa rows, cm.T,
+    then the class-1 summary block (oa, f1[1], ua[1], pa[1]) — raw ``str()``
+    formatting like the reference."""
+    oa = metric.overall_accuracy()
+    f1, ua, pa = metric.f1(), metric.precision(), metric.recall()
+    cm = metric.confusion_matrix().T
+    with open(txtpath, "w") as f:
+        f.write("oa, miou, iou, f1, ua, pa, confusion_matrix\n")
+        f.write(str(oa) + "\n\n")
+        for row in (f1, ua, pa):
+            f.write(" ".join(str(v) for v in row) + " \n")
+        for crow in cm:
+            f.write(" ".join(str(v) for v in crow) + " \n")
+        f.write(str(oa) + "\n")
+        f.write(str(f1[1]) + "\n")
+        f.write(str(ua[1]) + "\n")
+        f.write(str(pa[1]) + "\n")
+
+
 def acc2file_seg(metric, txtpath: str):
     """Segmentation CSV (metrics.py:383-437): rows
     [oa,miou,mfiou] / fiou / iou / f1 / ua / pa / C x cm rows, with a trailing

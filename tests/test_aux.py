@@ -113,3 +113,77 @@ class TestCAM:
         assert out.shape == prob.shape
         np.testing.assert_allclose(out.sum(-1), 1.0, atol=1e-5)
         assert out[8, 8, 0] > 0.8  # confident interior got sharper
+
+
+class TestCAMVariants:
+    """camutils.py:27-175 multi-scale drivers + make_cam + compute_seg_label."""
+
+    @staticmethod
+    def _image(n=2, h=24, w=24, c=3, seed=0):
+        return np.random.default_rng(seed).uniform(
+            0, 1, (n, h, w, c)).astype(np.float32)
+
+    @staticmethod
+    def _cam_fn(images):
+        # deterministic pseudo-CAM: per-class channel mixtures
+        x = np.asarray(images, np.float32)
+        return np.stack([x.mean(-1), x[..., 0] - x[..., 1]], axis=-1)
+
+    def test_puzzle_and_seam(self):
+        from srbh_tpu.utils.cam import multi_scale_puzzle, multi_scale_seam
+
+        img = self._image()
+        cam = multi_scale_puzzle(self._cam_fn, img, scales=(0.5, 1.5))
+        assert cam.shape == (2, 24, 24, 2)
+        assert float(cam.min()) >= 0 and float(cam.max()) <= 1.0 + 1e-6
+        # seam: tuple-returning model, head selection
+        fn = lambda x: (self._cam_fn(x), self._cam_fn(x) * 2)
+        cam0 = multi_scale_seam(fn, img, scales=(0.5,), pos=0)
+        cam1 = multi_scale_seam(fn, img, scales=(0.5,), pos=1)
+        assert cam0.shape == cam1.shape == (2, 24, 24, 2)
+
+    def test_multistage_variants(self):
+        from srbh_tpu.utils.cam import (multi_scale_cam_multistage,
+                                        multi_scale_cam_multistage_v2)
+
+        img = self._image(seed=1)
+        fn = lambda x: [self._cam_fn(x), self._cam_fn(x) * 0.5]
+        cam = multi_scale_cam_multistage(fn, img, scales=(0.5,))
+        v2 = multi_scale_cam_multistage_v2(fn, img, scales=(1.0, 0.5),
+                                           weights=(1, 2, 1, 1))
+        for c in (cam, v2):
+            assert c.shape == (2, 24, 24, 2)
+            assert float(c.min()) >= 0 and float(c.max()) <= 1.0 + 1e-6
+
+    def test_make_cam_matches_torch_reference(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from srbh_tpu.utils.cam import make_cam
+
+        x = np.random.default_rng(2).normal(size=(2, 8, 8, 3)).astype(np.float32)
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        tr = F.relu(t)
+        mx = tr.reshape(2, 3, -1).max(-1)[0].view(2, 3, 1, 1)
+        want = (F.relu(tr - 1e-5) / (mx + 1e-5)).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(make_cam(x), want, atol=1e-6)
+
+    def test_compute_seg_label(self):
+        pytest.importorskip("scipy")
+        from srbh_tpu.utils.cam import compute_seg_label
+
+        rng = np.random.default_rng(3)
+        h = w = 24
+        image = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        # graded class-1 blob: strict top-40% carving needs varied scores
+        # (a constant blob is all-ignore in the reference too)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        blob = np.maximum(0.0, 1.0 - 0.18 * np.hypot(yy - 8, xx - 8))
+        norm_cam = np.zeros((4, h, w), np.float32)
+        norm_cam[1] = blob
+        cam_label = np.array([0, 1, 0, 0], np.float32)
+        lab = compute_seg_label(image, cam_label, norm_cam)
+        assert lab.shape == (h, w)
+        assert set(np.unique(lab)) <= {0, 2, 255}  # class 1 -> label 2
+        # the blob core should be carved as the foreground class
+        assert (lab[6:10, 6:10] == 2).any()

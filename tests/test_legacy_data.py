@@ -69,3 +69,55 @@ class TestWholeImage:
         assert img.shape[0] % 60 == 4  # padded to step multiple + grid
         assert img.shape[2] == 6
         assert pos[0] == (0, 0)
+
+
+class TestPreprocessSampleLoaders:
+    """utils/preprocess.py:11-103 single-sample loader twins."""
+
+    @pytest.fixture(scope="class")
+    def sample_root(self, tmp_path_factory):
+        import cv2
+
+        root = tmp_path_factory.mktemp("samples")
+        rng = np.random.default_rng(1)
+        gt = (0.0, 10.0, 0.0, 1000.0, 0.0, -10.0)
+        for d in ("img1", "sen1", "tlc", "tlc1", "img2", "tlc2", "lab"):
+            os.makedirs(root / d)
+        base = "img0007"
+        write_tiff(str(root / "img1" / f"{base}.tif"),
+                   rng.integers(0, 255, (16, 16, 4)).astype(np.uint8), gt)
+        write_tiff(str(root / "sen1" / f"{base}.tif"),
+                   rng.integers(0, 255, (16, 16, 2)).astype(np.uint8), gt)
+        write_tiff(str(root / "tlc" / ("tlc" + f"{base}.tif"[3:])),
+                   rng.integers(0, 255, (16, 16, 3)).astype(np.uint8), gt)
+        write_tiff(str(root / "tlc1" / f"{base}.tif"),
+                   rng.integers(0, 255, (16, 16, 3)).astype(np.uint8), gt)
+        write_tiff(str(root / "img2" / f"{base}.tif"),
+                   rng.integers(0, 255, (16, 16, 4)).astype(np.uint8), gt)
+        write_tiff(str(root / "tlc2" / f"{base}.tif"),
+                   rng.integers(0, 255, (16, 16, 3)).astype(np.uint8), gt)
+        cv2.imwrite(str(root / "lab" / ("lab" + base[3:] + ".png")),
+                    rng.integers(0, 2, (16, 16)).astype(np.uint8))
+        rows = [(str(root / "img1" / f"{base}.tif"),
+                 str(root / "lab" / ("lab" + base[3:] + ".png")))]
+        return pd.DataFrame(rows)
+
+    def test_imglab_and_s12(self, sample_root):
+        from srbh_tpu.data.legacy import preprocess_imglab, preprocess_s12lab
+
+        x, lab, raw = preprocess_imglab(sample_root, 0)
+        assert x.shape == (1, 16, 16, 4) and x.max() <= 1.0
+        assert lab.shape == (1, 16, 16) and raw.dtype == np.uint8
+        x2, lab2, _ = preprocess_s12lab(sample_root, 0)
+        assert x2.shape == (1, 16, 16, 6)  # 4 S2 + 2 S1 channels
+        np.testing.assert_allclose(x2[..., :4], x)
+
+    def test_tlc_and_t1t2_with_scale(self, sample_root):
+        from srbh_tpu.data.legacy import preprocess_t1t2, preprocess_tlclab
+
+        x, lab, rgb = preprocess_tlclab(sample_root, 0, scale=0.5)
+        assert x.shape == (1, 8, 8, 7) and rgb.shape == (8, 8, 3)
+        assert lab.shape == (1, 8, 8)
+        x2, lab2, _ = preprocess_t1t2(sample_root, 0)
+        assert x2.shape == (1, 16, 16, 14)  # img1(4)+tlc1(3)+img2(4)+tlc2(3)
+        assert set(np.unique(lab2)) <= {0, 1}

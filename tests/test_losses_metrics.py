@@ -166,3 +166,105 @@ class TestWriters:
         rmse_txt = str(tmp_path / "acc.txt")
         acc2file_rmse(meter, rmse_txt)
         assert open(rmse_txt).read() == "10.586"
+
+
+class TestMetricPrintersAndClsWriter:
+    def _metric(self):
+        from srbh_tpu.metrics.streaming import SegmentationMetric
+
+        m = SegmentationMetric(2)
+        pred = np.array([[0, 1, 1, 0]])
+        ref = np.array([[0, 1, 0, 1]])
+        m.add_batch(pred, ref)
+        return m
+
+    def test_accprint_and_plot(self, capsys):
+        from srbh_tpu.metrics.streaming import accprint, plot_confusionmatrix
+
+        m = self._metric()
+        accprint(m)
+        out = capsys.readouterr().out
+        assert "oa, miou" in out and "numtotal: 4" in out
+        plot_confusionmatrix(np.eye(2))
+        out = capsys.readouterr().out
+        assert "1.000 0.000" in out
+
+    def test_acc2file_cls_schema(self, tmp_path):
+        from srbh_tpu.metrics.writers import acc2file_cls
+
+        m = self._metric()
+        p = str(tmp_path / "cls.txt")
+        acc2file_cls(m, p)
+        lines = open(p).read().splitlines()
+        assert lines[0] == "oa, miou, iou, f1, ua, pa, confusion_matrix"
+        assert float(lines[1]) == pytest.approx(0.5)  # oa
+        # trailing class-1 summary block: oa, f1[1], ua[1], pa[1]
+        assert float(lines[-4]) == pytest.approx(0.5)
+        assert float(lines[-3]) == pytest.approx(m.f1()[1])
+        assert float(lines[-2]) == pytest.approx(m.precision()[1])
+        assert float(lines[-1]) == pytest.approx(m.recall()[1])
+
+
+class TestDeviceMetricTwins:
+    """calculate_{psnr,ssim,cpsnr}_pt device twins vs host f64 metrics and
+    a torch oracle of the reference code (SR/psnr_ssim.py:203-318,443-490)."""
+
+    @staticmethod
+    def _pair(seed=0, n=2, h=32, w=32, c=3):
+        rng = np.random.default_rng(seed)
+        a = rng.uniform(0, 1, (n, h, w, c)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.05, a.shape), 0, 1).astype(np.float32)
+        return a, b
+
+    def test_psnr_ssim_pt_match_host(self):
+        import jax.numpy as jnp
+
+        from srbh_tpu.metrics.image import (calculate_psnr, calculate_psnr_pt,
+                                            calculate_ssim, calculate_ssim_pt)
+
+        a, b = self._pair()
+        p = np.asarray(calculate_psnr_pt(jnp.asarray(a), jnp.asarray(b)))
+        s = np.asarray(calculate_ssim_pt(jnp.asarray(a), jnp.asarray(b)))
+        for i in range(a.shape[0]):
+            # host metric is on [0,255]; _pt reference is on [0,1] with the
+            # same 255-scale formula -> identical values
+            want_p = calculate_psnr(a[i] * 255.0, b[i] * 255.0)
+            want_s = calculate_ssim(a[i] * 255.0, b[i] * 255.0)
+            assert abs(p[i] - want_p) < 5e-3
+            assert abs(s[i] - want_s) < 1e-3
+
+    def test_cpsnr_pt_matches_torch_oracle(self):
+        torch = pytest.importorskip("torch")
+        import jax.numpy as jnp
+
+        from srbh_tpu.metrics.image import calculate_cpsnr_pt
+
+        a, b = self._pair(seed=1, n=2, h=24, w=24, c=2)
+        # verbatim port of calculate_cpsnr_pt (SR/psnr_ssim.py:443-490)
+        i1 = torch.from_numpy(a.transpose(0, 3, 1, 2)).double()
+        i2 = torch.from_numpy(b.transpose(0, 3, 1, 2)).double()
+        mo = 8
+        hh, ww = i1.shape[-2:]
+        chh, cww = hh - mo, ww - mo
+        best = None
+        for ro in range(mo + 1):
+            for co in range(mo + 1):
+                c1 = i1[:, :, ro:, co:][:, :, :chh, :cww].clone()
+                c2 = i2[:, :, mo - ro:, mo - co:][:, :, :chh, :cww].clone()
+                for ci in range(i1.shape[1]):
+                    c2[:, ci] += torch.mean(c1[:, ci] - c2[:, ci])
+                mse = torch.mean(torch.square(c1 - c2))
+                best = mse if best is None or mse < best else best
+        want = float(10.0 * torch.log10(255.0 * 255.0 / best))
+        got = float(calculate_cpsnr_pt(jnp.asarray(a), jnp.asarray(b)))
+        assert abs(want - got) < 1e-3
+
+    def test_y_channel_and_crop(self):
+        import jax.numpy as jnp
+
+        from srbh_tpu.metrics.image import calculate_psnr_pt
+
+        a, b = self._pair(seed=2)
+        v = np.asarray(calculate_psnr_pt(jnp.asarray(a), jnp.asarray(b),
+                                         crop_border=4, test_y_channel=True))
+        assert v.shape == (2,) and np.isfinite(v).all()
