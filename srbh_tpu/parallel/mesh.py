@@ -85,3 +85,36 @@ def shard_batch(batch, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
+
+
+def tp_param_spec(x, n_model: int) -> P:
+    """Tensor-parallel PartitionSpec for one parameter array.
+
+    Convolution kernels are Flax HWIO: the output-channel (last) dim is
+    sharded over ``model``; 1-D biases/scales shard the same channel dim;
+    2-D dense kernels shard the output features. Anything not divisible by
+    the model-axis size stays replicated — GSPMD then inserts the
+    all-gathers/reduce-scatters where a sharded output feeds the next
+    contraction (the scaling-book "pick a mesh, annotate, let XLA insert
+    collectives" recipe)."""
+    if n_model <= 1:
+        return P()
+    if x.ndim >= 2 and x.shape[-1] % n_model == 0:
+        return P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+    if x.ndim == 1 and x.shape[0] % n_model == 0:
+        return P(MODEL_AXIS)
+    return P()
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a parameter pytree with conv/dense output channels sharded over
+    the ``model`` axis (channel/tensor parallelism for the conv zoo).
+
+    The reference is single-GPU (SURVEY.md §2.5); this is the TPU-native
+    growth path: the 17-25 M-param CNNs fit one chip, but the same
+    annotations let the frozen RRDBNet trunk's weights and activations split
+    across ICI neighbours when a larger SR backbone is swapped in."""
+    n_model = mesh.shape[MODEL_AXIS]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, tp_param_spec(x, n_model))), params)

@@ -1,0 +1,58 @@
+"""Model-axis (tensor-parallel) sharding of the conv zoo.
+
+The reference is single-GPU (SURVEY.md §2.5); the mesh reserves a ``model``
+axis for conv-channel sharding. These tests pin that path: output-channel
+NamedShardings on the frozen RRDBNet trunk must leave numerics identical
+while actually splitting the kernels across the axis.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from srbh_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def tiny_sr():
+    from srbh_tpu import models
+
+    sr = models.RRDBNet(num_block=2, num_feat=16, num_grow_ch=8)
+    x = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (4, 32, 32, 3)).astype(np.float32))
+    params = jax.jit(sr.init)(jax.random.PRNGKey(0), x)
+    return sr, params, x
+
+
+class TestTensorParallel:
+    def test_spec_rules(self):
+        from jax.sharding import PartitionSpec as P
+
+        k4 = np.zeros((3, 3, 16, 32))
+        assert pmesh.tp_param_spec(k4, 4) == P(None, None, None, "model")
+        assert pmesh.tp_param_spec(np.zeros((3, 3, 16, 30)), 4) == P()
+        assert pmesh.tp_param_spec(np.zeros(32), 4) == P("model")
+        assert pmesh.tp_param_spec(np.zeros(30), 4) == P()
+        assert pmesh.tp_param_spec(k4, 1) == P()
+
+    def test_trunk_tp_matches_replicated(self, tiny_sr):
+        sr, params, x = tiny_sr
+        fn = jax.jit(lambda p, im: sr.apply(p, im, features_only=True))
+        ref = np.asarray(fn(params, x))
+
+        mesh = pmesh.make_mesh(n_model=4)  # (2, 4) over the 8 CPU devices
+        tp = pmesh.shard_params_tp(params, mesh)
+        out = np.asarray(fn(tp, jax.device_put(x, pmesh.batch_sharding(mesh))))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+        kernels = [l for l in jax.tree_util.tree_leaves(tp) if l.ndim == 4]
+        sharded = [l for l in kernels if not l.sharding.is_fully_replicated]
+        assert len(sharded) >= len(kernels) - 1  # conv_first..conv_hr all TP
+
+    def test_dp_only_mesh_replicates(self, tiny_sr):
+        sr, params, _ = tiny_sr
+        mesh = pmesh.make_mesh(n_model=1)
+        tp = pmesh.shard_params_tp(params, mesh)
+        assert all(l.sharding.is_fully_replicated
+                   for l in jax.tree_util.tree_leaves(tp))
