@@ -87,6 +87,18 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch over ``data`` AND image rows over ``model`` (NHWC dim 1).
+
+    The conv-net analog of sequence parallelism (SURVEY.md §5.7): GSPMD
+    partitions every conv spatially and inserts the halo exchanges
+    (collective-permutes of the kernel-support rows) over ICI, so one big
+    tile's activations spread across the model axis. Verified bit-close to
+    the replicated forward through the full flagship model (pixel-shuffle
+    heads included) in tests/test_tensor_parallel.py."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def tp_param_spec(x, n_model: int) -> P:
     """Tensor-parallel PartitionSpec for one parameter array.
 

@@ -56,3 +56,16 @@ class TestTensorParallel:
         tp = pmesh.shard_params_tp(params, mesh)
         assert all(l.sharding.is_fully_replicated
                    for l in jax.tree_util.tree_leaves(tp))
+
+
+class TestSpatialParallel:
+    """Row sharding (the conv analog of sequence parallelism, SURVEY §5.7):
+    GSPMD must insert halo exchanges so sharded-H convs match replicated."""
+
+    def test_trunk_spatial_matches_replicated(self, tiny_sr):
+        sr, params, x = tiny_sr
+        fn = jax.jit(lambda p, im: sr.apply(p, im, features_only=True))
+        ref = np.asarray(fn(params, x))
+        mesh = pmesh.make_mesh(n_model=4)
+        xs = jax.device_put(x, pmesh.spatial_sharding(mesh))
+        np.testing.assert_allclose(np.asarray(fn(params, xs)), ref, atol=1e-5)
