@@ -369,3 +369,80 @@ class TestImageNetEncoderConverter:
         assert float(np.abs(
             out["params"]["encoder"]["blocks_2_0"]["dw_conv"]["kernel"]).sum()
             ) > 0
+
+
+class TestUnetDecoderTorchOracle:
+    """Numeric forward oracle for the smp UnetDecoder topology
+    (mymodels.py:244-258 dependency): an in-test torch replica of smp's
+    DecoderBlock chain (nearest x2 upsample -> concat skip -> 2x
+    Conv3x3-BN-ReLU, BN eps 1e-5) must match our Flax UnetDecoder under
+    converted weights."""
+
+    def test_decoder_forward_matches_torch(self):
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        from srbh_tpu.models.unet_decoder import UnetDecoder
+        from srbh_tpu.train.convert import _bn, _conv
+
+        torch.manual_seed(0)
+        enc_ch = [8, 6, 5, 4, 3, 2]   # input tap + 5 encoder stages (tiny)
+        dec_ch = [16, 12, 10, 8, 6]
+
+        # torch replica with smp parameter naming
+        blocks = []
+        in_ch = enc_ch[-1]
+        skips = enc_ch[1:-1][::-1] + [0]
+        sd = {}
+        for i, (och, sch) in enumerate(zip(dec_ch, skips)):
+            c1 = tnn.Conv2d(in_ch + sch, och, 3, padding=1, bias=False)
+            b1 = tnn.BatchNorm2d(och, eps=1e-5)
+            c2 = tnn.Conv2d(och, och, 3, padding=1, bias=False)
+            b2 = tnn.BatchNorm2d(och, eps=1e-5)
+            for m in (b1, b2):  # non-trivial running stats
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.data.normal_(1, 0.2)
+                m.bias.data.normal_(0, 0.2)
+            blocks.append((c1, b1, c2, b2))
+            for tag, mod in (("conv1.0", c1), ("conv1.1", b1),
+                             ("conv2.0", c2), ("conv2.1", b2)):
+                for k, v in mod.state_dict().items():
+                    sd[f"blocks.{i}.{tag}.{k}"] = v.numpy()
+            in_ch = och
+
+        feats_np = [np.random.default_rng(i).normal(
+            size=(2, 32 >> s, 32 >> s, c)).astype(np.float32)
+            for s, c in enumerate(enc_ch)]
+
+        with torch.no_grad():
+            x = torch.from_numpy(feats_np[-1].transpose(0, 3, 1, 2))
+            tskips = [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                      for f in feats_np[1:-1][::-1]]
+            for i, (c1, b1, c2, b2) in enumerate(blocks):
+                for m in (b1, b2):
+                    m.eval()
+                x = F.interpolate(x, scale_factor=2, mode="nearest")
+                if i < len(tskips):
+                    x = torch.cat([x, tskips[i]], dim=1)
+                x = F.relu(b1(c1(x)))
+                x = F.relu(b2(c2(x)))
+            want = x.numpy().transpose(0, 2, 3, 1)
+
+        # convert into the flax tree
+        params, stats = {}, {}
+        for i in range(len(dec_ch)):
+            bp = {}
+            bs = {}
+            for cname in ("conv1", "conv2"):
+                conv = _conv(sd, f"blocks.{i}.{cname}.0")
+                bnp, bns = _bn(sd, f"blocks.{i}.{cname}.1")
+                bp[cname] = {"conv": conv, "bn": bnp}
+                bs[cname] = {"bn": bns}
+            params[f"block{i}"] = bp
+            stats[f"block{i}"] = bs
+
+        dec = UnetDecoder(decoder_channels=tuple(dec_ch))
+        out = dec.apply({"params": params, "batch_stats": stats},
+                        *[jnp.asarray(f) for f in feats_np], train=False)
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
