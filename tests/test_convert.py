@@ -446,3 +446,86 @@ class TestUnetDecoderTorchOracle:
         out = dec.apply({"params": params, "batch_stats": stats},
                         *[jnp.asarray(f) for f in feats_np], train=False)
         np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
+
+
+class TestMBConvTorchOracle:
+    """Numeric forward oracle for MBConv (efficientnet-pytorch's
+    MBConvBlock): expand -> TF-same-padded depthwise (stride 2 pads
+    asymmetrically, as Conv2dStaticSamePadding does) -> SE (reduction from
+    block INPUT channels, biased 1x1s) -> project -> residual. BN eps 1e-3."""
+
+    @staticmethod
+    def _tf_same_pad(x, k, s):
+        import torch.nn.functional as F
+
+        ih, iw = x.shape[-2:]
+        pad_h = max((-ih) % s + k - s, 0) if ih % s == 0 else max(k - ih % s, 0)
+        pad_w = max((-iw) % s + k - s, 0) if iw % s == 0 else max(k - iw % s, 0)
+        return F.pad(x, [pad_w // 2, pad_w - pad_w // 2,
+                         pad_h // 2, pad_h - pad_h // 2])
+
+    @pytest.mark.parametrize("in_ch,out_ch,expand,k,stride", [
+        (8, 8, 1, 3, 1),    # stage-1 style: no expansion, residual
+        (8, 12, 6, 5, 2),   # strided k5: asymmetric TF padding path
+    ])
+    def test_mbconv_matches_torch(self, in_ch, out_ch, expand, k, stride):
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        from srbh_tpu.models.efficientnet import MBConv
+
+        torch.manual_seed(1)
+        mid = in_ch * expand
+        se_ch = max(1, int(in_ch * 0.25))
+        mods = {}
+        if expand != 1:
+            mods["expand_conv"] = tnn.Conv2d(in_ch, mid, 1, bias=False)
+            mods["expand_bn"] = tnn.BatchNorm2d(mid, eps=1e-3)
+        mods["dw_conv"] = tnn.Conv2d(mid, mid, k, stride=stride, groups=mid,
+                                     bias=False)
+        mods["dw_bn"] = tnn.BatchNorm2d(mid, eps=1e-3)
+        mods["se_reduce"] = tnn.Conv2d(mid, se_ch, 1)
+        mods["se_expand"] = tnn.Conv2d(se_ch, mid, 1)
+        mods["project_conv"] = tnn.Conv2d(mid, out_ch, 1, bias=False)
+        mods["project_bn"] = tnn.BatchNorm2d(out_ch, eps=1e-3)
+        for m in mods.values():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.data.normal_(1, 0.2)
+                m.bias.data.normal_(0, 0.2)
+                m.eval()
+
+        x_np = np.random.default_rng(2).normal(
+            size=(2, 17, 17, in_ch)).astype(np.float32)  # odd size: pad quirks
+        with torch.no_grad():
+            h = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+            inp = h
+            if expand != 1:
+                h = F.silu(mods["expand_bn"](mods["expand_conv"](h)))
+            h = self._tf_same_pad(h, k, stride)
+            h = F.silu(mods["dw_bn"](mods["dw_conv"](h)))
+            s = h.mean((2, 3), keepdim=True)
+            s = mods["se_expand"](F.silu(mods["se_reduce"](s)))
+            h = h * torch.sigmoid(s)
+            h = mods["project_bn"](mods["project_conv"](h))
+            if stride == 1 and in_ch == out_ch:
+                h = h + inp
+            want = h.numpy().transpose(0, 2, 3, 1)
+
+        from srbh_tpu.train.convert import _bn, _conv
+
+        sd = {f"{mname}.{kk}": vv.numpy() for mname, m in mods.items()
+              for kk, vv in m.state_dict().items()}
+        params, stats = {}, {}
+        for cname in mods:
+            if cname.endswith("_bn"):
+                params[cname], stats[cname] = _bn(sd, cname)
+            else:
+                params[cname] = _conv(sd, cname)
+
+        blk = MBConv(out_ch=out_ch, expand_ratio=expand, kernel=k,
+                     stride=stride)
+        out = blk.apply({"params": params, "batch_stats": stats},
+                        jnp.asarray(x_np), train=False)
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
