@@ -54,7 +54,7 @@ def pipeline_apply(stage_fn: Callable, stage_params, microbatches,
         state = jnp.zeros_like(mbs[0])
         out = jnp.zeros_like(mbs)
 
-        def tick(t, carry):
+        def tick(carry, t):
             state, out = carry
             inp = jnp.where(idx == 0, mbs[jnp.clip(t, 0, M - 1)], state)
             y = stage_fn(local_params, inp)
@@ -66,9 +66,12 @@ def pipeline_apply(stage_fn: Callable, stage_params, microbatches,
             out = jnp.where(write, updated, out)
             state = lax.ppermute(y, axis,
                                  [(i, (i + 1) % S) for i in range(S)])
-            return state, out
+            return (state, out), None
 
-        _, out = lax.fori_loop(0, M + S - 1, tick, (state, out))
+        # scan (not fori_loop) so the schedule is reverse-differentiable:
+        # grads flow back through the ppermute hand-offs (reverse permute),
+        # giving pipeline-parallel TRAINING for free (tested).
+        (_, out), _ = lax.scan(tick, (state, out), jnp.arange(M + S - 1))
         # only the last stage wrote; psum replicates its buffer
         return lax.psum(out, axis)
 

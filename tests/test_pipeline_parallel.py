@@ -68,3 +68,51 @@ class TestPipelineParallel:
         with pytest.raises(ValueError, match="leading dim"):
             pipeline_apply(lambda p, h: h, bad,
                            jnp.zeros((2, 1, 4)), mesh)
+
+    def test_pipeline_gradients_match_sequential(self):
+        """The scan schedule is reverse-differentiable: training through the
+        pipelined stack must produce the same stage-weight gradients as the
+        sequential program."""
+        mesh = pmesh.make_mesh(n_model=4)
+        w = jnp.asarray(np.random.default_rng(3).uniform(
+            0.5, 1.5, (4, 1)).astype(np.float32))
+        mbs = jnp.asarray(np.random.default_rng(4).normal(
+            size=(4, 2, 3)).astype(np.float32))
+
+        def loss_pipe(w):
+            out = pipeline_apply(lambda p, h: jnp.tanh(h * p["w"]),
+                                 {"w": w}, mbs, mesh)
+            return (out ** 2).sum()
+
+        def loss_seq(w):
+            h = mbs
+            for s in range(4):
+                h = jnp.tanh(h * w[s])
+            return (h ** 2).sum()
+
+        gp = jax.grad(loss_pipe)(w)
+        gs = jax.grad(loss_seq)(w)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), rtol=1e-5)
+
+    def test_rrdb_pipeline_gradients(self, tiny_sr):
+        """End-to-end: d(loss)/d(params) through the pipelined trunk matches
+        the single-program gradients (spot-checked on conv_first + a block)."""
+        sr, params, x, _ = tiny_sr
+        mesh = pmesh.make_mesh(n_model=2)
+
+        def loss_pipe(p):
+            y = rrdb_pipeline_features(sr, p, x, mesh, num_microbatches=2)
+            return (y.astype(jnp.float32) ** 2).mean()
+
+        def loss_seq(p):
+            y = sr.apply(p, x, features_only=True)
+            return (y.astype(jnp.float32) ** 2).mean()
+
+        gp = jax.grad(loss_pipe)(params)["params"]
+        gs = jax.grad(loss_seq)(params)["params"]
+        np.testing.assert_allclose(
+            np.asarray(gp["conv_first"]["kernel"]),
+            np.asarray(gs["conv_first"]["kernel"]), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gp["body_1"]["rdb2"]["conv3"]["kernel"]),
+            np.asarray(gs["body_1"]["rdb2"]["conv3"]["kernel"]), atol=1e-5)
