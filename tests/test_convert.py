@@ -529,3 +529,77 @@ class TestMBConvTorchOracle:
         out = blk.apply({"params": params, "batch_stats": stats},
                         jnp.asarray(x_np), train=False)
         np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
+
+
+class TestHRFuseResidualTorchOracle:
+    """Numeric forward oracle for the flagship's fusion head
+    (SR/HRfuse.py:173-190): torch replica of Upsampler (conv->PixelShuffle
+    x2 octaves) + 3 BasicBlocks + conv_last, mapped through
+    convert_hrfuse_residual — pins the pixel-shuffle channel ordering and
+    the cat([x_lr, x_hr]) fusion order."""
+
+    def test_forward_matches_torch(self):
+        import torch.nn as tnn
+        import torch.nn.functional as F
+
+        from srbh_tpu.models.hrfuse import HRFuseResidual
+        from srbh_tpu.train.convert import convert_hrfuse_residual
+
+        torch.manual_seed(2)
+        lr_ch = hr_ch = mid = 16
+
+        def basic_block(inp, planes):
+            blk = tnn.Module()
+            blk.conv1 = tnn.Conv2d(inp, planes, 3, padding=1, bias=False)
+            blk.bn1 = tnn.BatchNorm2d(planes)
+            blk.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+            blk.bn2 = tnn.BatchNorm2d(planes)
+            if inp != planes:
+                blk.downsample = tnn.Sequential(
+                    tnn.Conv2d(inp, planes, 1, bias=False),
+                    tnn.BatchNorm2d(planes))
+            else:
+                blk.downsample = None
+            for m in blk.modules():
+                if isinstance(m, tnn.BatchNorm2d):
+                    m.running_mean.normal_(0, 0.3)
+                    m.running_var.uniform_(0.5, 2.0)
+                    m.weight.data.normal_(1, 0.2)
+                    m.bias.data.normal_(0, 0.2)
+                    m.eval()
+            return blk
+
+        head = tnn.Module()
+        head.upsampler = tnn.Sequential(
+            tnn.Conv2d(lr_ch, 4 * lr_ch, 3, padding=1), tnn.PixelShuffle(2),
+            tnn.Conv2d(lr_ch, 4 * lr_ch, 3, padding=1), tnn.PixelShuffle(2))
+        head.fuse = tnn.Sequential(basic_block(lr_ch + hr_ch, mid),
+                                   basic_block(mid, mid),
+                                   basic_block(mid, mid))
+        head.conv_last = tnn.Conv2d(mid, 1, 3, padding=1)
+
+        rng = np.random.default_rng(5)
+        x_lr = rng.normal(size=(2, 8, 8, lr_ch)).astype(np.float32)
+        x_hr = rng.normal(size=(2, 32, 32, hr_ch)).astype(np.float32)
+
+        def tblock(blk, x):
+            idn = x if blk.downsample is None else blk.downsample(x)
+            out = F.relu(blk.bn1(blk.conv1(x)))
+            out = blk.bn2(blk.conv2(out))
+            return F.relu(out + idn)
+
+        with torch.no_grad():
+            t_lr = torch.from_numpy(x_lr.transpose(0, 3, 1, 2))
+            t_hr = torch.from_numpy(x_hr.transpose(0, 3, 1, 2))
+            up = head.upsampler(t_lr)
+            h = torch.cat([up, t_hr], dim=1)
+            for blk in head.fuse:
+                h = tblock(blk, h)
+            want = head.conv_last(h).numpy().transpose(0, 2, 3, 1)
+
+        sd = {f"head.{k}": v.numpy() for k, v in head.state_dict().items()}
+        params, stats = convert_hrfuse_residual(sd, "head")
+        m = HRFuseResidual(mid_chans=mid, out_chans=1, upscale=4)
+        out = m.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(x_lr), jnp.asarray(x_hr), train=False)
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
