@@ -143,3 +143,63 @@ class TestHarness:
             assert ws in (7, 8)
         with pytest.raises(ValueError):
             define_model("bogus")
+
+
+class TestWindowAttentionTorchOracle:
+    """Numeric oracle: torch replica of WindowAttention
+    (SR/network_swinir.py:65-161) — qkv linear, scaled q@k^T + relative
+    position bias (+shift mask), softmax, @v, proj — must match the einsum
+    implementation under transposed-weight conversion."""
+
+    def test_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        import jax
+        import torch.nn.functional as F
+
+        from srbh_tpu.models.swinir import (WindowAttention,
+                                            relative_position_index,
+                                            shift_attn_mask)
+
+        dim, ws, heads = 12, 4, 3
+        n = ws * ws
+        nW = 4  # windows of an 8x8 map
+        b = 2
+        torch.manual_seed(3)
+        qkv_w = torch.randn(3 * dim, dim) * 0.2
+        qkv_b = torch.randn(3 * dim) * 0.1
+        proj_w = torch.randn(dim, dim) * 0.2
+        proj_b = torch.randn(dim) * 0.1
+        table = torch.randn((2 * ws - 1) ** 2, heads) * 0.5
+        mask_np = shift_attn_mask(8, 8, ws, shift=2)  # (nW, n, n)
+        x_np = np.random.default_rng(7).normal(
+            size=(b * nW, n, dim)).astype(np.float32)
+
+        with torch.no_grad():
+            x = torch.from_numpy(x_np)
+            B_ = x.shape[0]
+            qkv = F.linear(x, qkv_w, qkv_b).reshape(
+                B_, n, 3, heads, dim // heads).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            q = q * (dim // heads) ** -0.5
+            attn = q @ k.transpose(-2, -1)
+            idx = torch.from_numpy(
+                relative_position_index(ws).reshape(-1).astype(np.int64))
+            bias = table[idx].reshape(n, n, heads).permute(2, 0, 1)
+            attn = attn + bias.unsqueeze(0)
+            m = torch.from_numpy(mask_np)
+            attn = attn.view(B_ // nW, nW, heads, n, n) + m.unsqueeze(
+                1).unsqueeze(0)
+            attn = attn.view(-1, heads, n, n)
+            attn = F.softmax(attn, dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(B_, n, dim)
+            want = F.linear(out, proj_w, proj_b).numpy()
+
+        params = {
+            "qkv": {"kernel": qkv_w.numpy().T, "bias": qkv_b.numpy()},
+            "proj": {"kernel": proj_w.numpy().T, "bias": proj_b.numpy()},
+            "relative_position_bias_table": table.numpy(),
+        }
+        m = WindowAttention(dim=dim, window_size=ws, num_heads=heads)
+        got = m.apply({"params": params}, jnp.asarray(x_np),
+                      mask=jnp.asarray(mask_np))
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
