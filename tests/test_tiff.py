@@ -92,3 +92,29 @@ def test_reads_reference_shipped_tifs():
     assert arr.shape[0] > 0 and arr.shape[2] in (1, 3)
     gt = r.geotransform
     assert gt[1] != 0
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])  # none/LZW/deflate/packbits
+def test_libtiff_interop_via_cv2(tmp_path, comp):
+    """Third-party oracle: real libtiff (through cv2) encodes with each
+    compression scheme; our decoder must bit-match — and libtiff must read
+    our compressed writes back (codec symmetric against an independent
+    implementation, beyond the PIL oracle)."""
+    import cv2
+
+    from srbh_tpu.data.tiff import read_tiff, write_tiff
+
+    rng = np.random.default_rng(comp)
+    # runs of equal values so PackBits/LZW actually compress
+    img = np.repeat(rng.integers(0, 60000, (37, 23)), 2, axis=1).astype(np.uint16)
+    p = str(tmp_path / f"cv{comp}.tif")
+    assert cv2.imwrite(p, img, [cv2.IMWRITE_TIFF_COMPRESSION, comp])
+    got = np.squeeze(read_tiff(p))
+    np.testing.assert_array_equal(got, img)
+
+    # our writer -> libtiff reader (our codec emits none/packbits/deflate)
+    ours = {1: None, 8: "deflate", 32773: "packbits"}.get(comp, None)
+    q = str(tmp_path / f"ours{comp}.tif")
+    write_tiff(q, img, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), compress=ours)
+    back = cv2.imread(q, cv2.IMREAD_UNCHANGED)
+    np.testing.assert_array_equal(back, img)
