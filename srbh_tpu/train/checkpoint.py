@@ -25,14 +25,32 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+_pending_save = None  # most recent async save (serialises successive saves)
+
+
+def wait_for_saves():
+    """Block until the in-flight async save (if any) has committed."""
+    global _pending_save
+    if _pending_save is not None:
+        t, _pending_save = _pending_save, None
+        t.join()
+
+
 def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
                     snapshot_every: int = 5, is_best: bool = False,
-                    save_opt_state: bool = False):
+                    save_opt_state: bool = False, async_save: bool = False):
     """Write ``checkpoint/`` (+ ``checkpoint{epoch}/``, ``model_best/``).
 
     ``save_opt_state=True`` additionally persists the optax state (Adam
     moments + injected hyperparams, as a flax state-dict so orbax sees only
-    plain containers), enabling bitwise-exact resume."""
+    plain containers), enabling bitwise-exact resume.
+
+    ``async_save=True`` (SURVEY.md §5.3 "async checkpointing every N
+    steps"): the device->host pull happens synchronously (so the training
+    loop may donate/overwrite its buffers immediately), but serialisation
+    and the crash-safe dir swap run on a background thread — the step loop
+    never stalls on disk. Successive saves are serialised against each
+    other; call :func:`wait_for_saves` before reading the files back."""
     payload = {
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
@@ -46,26 +64,40 @@ def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
 
         payload["opt_state"] = jax.device_get(
             serialization.to_state_dict(state.opt_state))
-    # crash-safe replace: write to a temp dir first so an interrupted save
-    # never destroys the only live resume state
     path = os.path.abspath(os.path.join(logdir, "checkpoint"))
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    _ckptr().save(tmp, payload)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
-    if snapshot_every and epoch % snapshot_every == 0:
-        snap = os.path.abspath(os.path.join(logdir, f"checkpoint{epoch}"))
-        if os.path.exists(snap):
-            shutil.rmtree(snap)
-        shutil.copytree(path, snap)
-    if is_best:
-        best = os.path.abspath(os.path.join(logdir, "model_best"))
-        if os.path.exists(best):
-            shutil.rmtree(best)
-        shutil.copytree(path, best)
+
+    def _commit():
+        # crash-safe replace: write to a temp dir first so an interrupted
+        # save never destroys the only live resume state
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        _ckptr().save(tmp, payload)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        if snapshot_every and epoch % snapshot_every == 0:
+            snap = os.path.abspath(os.path.join(logdir, f"checkpoint{epoch}"))
+            if os.path.exists(snap):
+                shutil.rmtree(snap)
+            shutil.copytree(path, snap)
+        if is_best:
+            best = os.path.abspath(os.path.join(logdir, "model_best"))
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+
+    if async_save:
+        import threading
+
+        global _pending_save
+        wait_for_saves()  # serialise with the previous in-flight save
+        t = threading.Thread(target=_commit, daemon=False)
+        t.start()
+        _pending_save = t
+    else:
+        wait_for_saves()
+        _commit()
     return path
 
 

@@ -244,6 +244,24 @@ class TestCheckpoint:
         # snapshot copy exists (epoch 5 % 5 == 0), like checkpoint{N}.tar
         assert (tmp_path / "checkpoint5").is_dir()
 
+    def test_async_save_commits_and_serialises(self, trained, tmp_path):
+        """async_save returns immediately; wait_for_saves() then makes the
+        crash-safe dir visible with identical contents, and back-to-back
+        async saves serialise (last writer wins)."""
+        from srbh_tpu.train.checkpoint import wait_for_saves
+
+        state = trained["state"]
+        save_checkpoint(str(tmp_path), state, epoch=1, best_rmse=9.0,
+                        async_save=True)
+        save_checkpoint(str(tmp_path), state, epoch=2, best_rmse=8.0,
+                        async_save=True)
+        wait_for_saves()
+        payload = load_checkpoint(str(tmp_path / "checkpoint"))
+        assert payload["epoch"] == 2 and payload["best_rmse"] == 8.0
+        for a, b in zip(jax.tree_util.tree_leaves(payload["params"]),
+                        jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
     def test_missing_checkpoint_returns_none(self, tmp_path):
         assert load_checkpoint(str(tmp_path / "nope")) is None
 
