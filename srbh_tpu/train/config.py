@@ -54,6 +54,8 @@ class TrainConfig:
     num_sample: int = 0
     # exact resume: persist optax state (reference never does, train.py:207)
     save_opt_state: bool = False
+    # commit checkpoints on a background thread (SURVEY 5.3 async saves)
+    async_checkpoint: bool = False
     # frozen-SR architecture (defaults = Real-ESRGAN x4plus, train.py:133-136)
     sr_num_block: int = 23
     sr_num_feat: int = 64

@@ -40,6 +40,7 @@ from srbh_tpu.train.checkpoint import (
     load_checkpoint,
     restore_into_state,
     save_checkpoint,
+    wait_for_saves,
 )
 from srbh_tpu.train.config import TrainConfig
 from srbh_tpu.train.schedule import step_decay_lr
@@ -215,7 +216,8 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         best_rmse = min(val_rmses.avg, best_rmse)
         save_checkpoint(cfg.logdir, state, epoch, best_rmse,
                         snapshot_every=5, is_best=is_best,
-                        save_opt_state=cfg.save_opt_state)
+                        save_opt_state=cfg.save_opt_state,
+                        async_save=cfg.async_checkpoint)
         print(f"epoch {epoch}: lr {lr:.6f} train loss {losses.avg:.3f} "
               f"rmse {rmses.avg:.3f} | val rmse {val_rmses.avg:.3f}"
               f"{' *best*' if is_best else ''}")
@@ -227,6 +229,7 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
             writer.add_scalar("val/rmse", val_rmses.avg, epoch)
             for k in range(3):
                 writer.add_scalar(f"lossweight/w{k + 1}", float(log_vars[k]), epoch)
+    wait_for_saves()  # join any in-flight async checkpoint commit
     if writer is not None:
         writer.close()
     return state
