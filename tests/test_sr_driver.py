@@ -87,3 +87,39 @@ class TestLearnedMetricsGate:
             calculate_clipscore(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
         with pytest.raises(ValueError, match="convert_lpips"):
             calculate_lpips(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
+
+
+class TestFinetuneYmlLoader:
+    """SURVEY §2.2 #23: the shipped BasicSR finetune recipe parsed as a
+    first-class config source."""
+
+    REF_YML = "/root/reference/SR/finetune_realesrgan_x4plus_pairdata.yml"
+
+    def test_parses_reference_yml_verbatim(self):
+        if not os.path.exists(self.REF_YML):
+            pytest.skip("reference yml not mounted")
+        from srbh_tpu.train.sr_config import load_finetune_yml
+
+        cfg = load_finetune_yml(self.REF_YML)
+        t = cfg["trainer"]
+        assert t["scale"] == 4 and t["num_block"] == 23
+        assert t["num_feat"] == 64 and t["num_grow_ch"] == 32
+        assert t["lr"] == 1e-4 and t["ema_decay"] == 0.999
+        assert t["gan_weight"] == 0.1 and t["perceptual"]
+        assert t["milestones"] == (400000,) and t["warmup_iter"] == -1
+        assert cfg["gamma"] == 0.5 and cfg["total_iter"] == 400000
+        assert cfg["data"]["batch_size"] == 12 and cfg["data"]["gt_size"] == 256
+        assert cfg["data"]["use_hflip"] and not cfg["data"]["use_rot"]
+        # USM-GT switches (yml:9-11): l1/percep sharpened, gan raw
+        assert cfg["usm"] == {"l1": True, "percep": True, "gan": False}
+
+    def test_trainer_from_yml_builds(self):
+        if not os.path.exists(self.REF_YML):
+            pytest.skip("reference yml not mounted")
+        from srbh_tpu.train.sr_config import trainer_from_yml
+
+        tr = trainer_from_yml(self.REF_YML, num_block=1, num_feat=8,
+                              num_grow_ch=8, disc_feat=8, perceptual=False)
+        assert tr.net_g.num_block == 1 and tr.ema_decay == 0.999
+        assert float(tr.schedule(0)) == pytest.approx(1e-4)
+        assert float(tr.schedule(400001)) == pytest.approx(5e-5, rel=1e-5)
