@@ -142,7 +142,10 @@ def _decompress(data: bytes, method: int, expected: int) -> bytes:
         out = native.packbits_decode(data, expected)
         return out if out is not None else _packbits_decode(data, expected)
     if method == 5:
-        return _lzw_decode(data, expected)
+        from srbh_tpu import native
+
+        out = native.lzw_decode(data, expected)
+        return out if out is not None else _lzw_decode(data, expected)
     raise ValueError(f"unsupported TIFF compression {method}")
 
 

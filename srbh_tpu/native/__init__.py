@@ -54,6 +54,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.packbits_decode.argtypes = [u8, ctypes.c_long, u8, ctypes.c_long]
         lib.packbits_encode.restype = ctypes.c_long
         lib.packbits_encode.argtypes = [u8, ctypes.c_long, u8]
+        lib.lzw_decode.restype = ctypes.c_long
+        lib.lzw_decode.argtypes = [u8, ctypes.c_long, u8, ctypes.c_long]
         lib.zlib_inflate.restype = ctypes.c_long
         lib.zlib_inflate.argtypes = [u8, ctypes.c_long, u8, ctypes.c_long]
         lib.zlib_deflate.restype = ctypes.c_long
@@ -84,6 +86,19 @@ def packbits_decode(data: bytes, expected: int) -> Optional[bytes]:
     src = np.frombuffer(data, np.uint8)
     dst = np.empty(expected, np.uint8)
     n = lib.packbits_decode(_u8ptr(src), len(src), _u8ptr(dst), expected)
+    if n < 0:
+        return None
+    return dst[:expected].tobytes()
+
+
+def lzw_decode(data: bytes, expected: int) -> Optional[bytes]:
+    """TIFF LZW decode (early change); None -> caller uses the Python path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.frombuffer(data, np.uint8)
+    dst = np.empty(max(expected, 1), np.uint8)
+    n = lib.lzw_decode(_u8ptr(src), len(src), _u8ptr(dst), expected)
     if n < 0:
         return None
     return dst[:expected].tobytes()

@@ -68,6 +68,87 @@ long packbits_encode(const uint8_t* src, long n, uint8_t* dst) {
   return o;
 }
 
+// TIFF-flavour LZW decode (MSB-first codes, early change). Mirrors the
+// Python fallback in srbh_tpu/data/tiff.py:_lzw_decode. Returns bytes
+// written, or -1 on malformed input.
+long lzw_decode(const uint8_t* src, long src_len, uint8_t* dst,
+                long dst_len) {
+  constexpr int CLEAR = 256, EOI = 257, MAXCODES = 4096;
+  static_assert(MAXCODES == 1 << 12, "12-bit codes");
+  uint16_t prefix[MAXCODES];
+  uint8_t suffix[MAXCODES];
+  uint8_t firstb[MAXCODES];
+  for (int i = 0; i < 256; ++i) {
+    suffix[i] = firstb[i] = static_cast<uint8_t>(i);
+    prefix[i] = 0xFFFF;
+  }
+  int next = 258, codesize = 9, prev = -1;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  long o = 0;
+  uint8_t stack[MAXCODES];
+
+  for (long i = 0; i < src_len; ++i) {
+    bitbuf = (bitbuf << 8) | src[i];
+    bitcnt += 8;
+    while (bitcnt >= codesize) {
+      int code = (bitbuf >> (bitcnt - codesize)) & ((1 << codesize) - 1);
+      bitcnt -= codesize;
+      if (code == CLEAR) {
+        next = 258;
+        codesize = 9;
+        prev = -1;
+        continue;
+      }
+      if (code == EOI) return o;
+      int entry_first;
+      long sp = 0;
+      if (prev < 0) {
+        if (code > 255) return -1;  // first code must be a literal
+        entry_first = code;
+        stack[sp++] = static_cast<uint8_t>(code);
+      } else if (code < next && code != EOI && code != CLEAR) {
+        // known code: emit its string, add (prev + first(code))
+        entry_first = firstb[code];
+        for (int c = code; c != -1;) {
+          stack[sp++] = suffix[c];
+          c = (c < 256) ? -1 : (prefix[c] == 0xFFFF ? -1 : prefix[c]);
+          if (sp >= MAXCODES) return -1;
+        }
+        if (next < MAXCODES) {
+          prefix[next] = static_cast<uint16_t>(prev);
+          suffix[next] = static_cast<uint8_t>(entry_first);
+          firstb[next] = firstb[prev];
+          next++;
+        }
+      } else if (code == next) {
+        // KwKwK case: emit prev + first(prev)
+        entry_first = firstb[prev];
+        stack[sp++] = static_cast<uint8_t>(firstb[prev]);
+        for (int c = prev; c != -1;) {
+          stack[sp++] = suffix[c];
+          c = (c < 256) ? -1 : (prefix[c] == 0xFFFF ? -1 : prefix[c]);
+          if (sp >= MAXCODES) return -1;
+        }
+        if (next < MAXCODES) {
+          prefix[next] = static_cast<uint16_t>(prev);
+          suffix[next] = static_cast<uint8_t>(firstb[prev]);
+          firstb[next] = firstb[prev];
+          next++;
+        }
+      } else {
+        return -1;  // code beyond table
+      }
+      // pop the reversed string
+      while (sp > 0 && o < dst_len) dst[o++] = stack[--sp];
+      if (o >= dst_len) return o;
+      prev = code;
+      if (next >= (1 << codesize) - 1 && codesize < 12) codesize++;
+    }
+  }
+  return o;
+}
+
 // zlib inflate. Returns bytes written or -1 on error.
 long zlib_inflate(const uint8_t* src, long src_len, uint8_t* dst,
                   long dst_len) {

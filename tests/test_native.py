@@ -80,3 +80,33 @@ class TestTiffIntegration:
         p = str(tmp_path / "n.tif")
         write_tiff(p, arr, compress="PACKBITS")
         np.testing.assert_array_equal(read_tiff(p), arr)
+
+
+def test_native_lzw_matches_python_and_libtiff(tmp_path):
+    """C++ LZW decode = Python fallback = libtiff-encoded ground truth."""
+    import cv2
+
+    from srbh_tpu import native
+    from srbh_tpu.data import tiff as T
+
+    rng = np.random.default_rng(3)
+    img = np.repeat(rng.integers(0, 60000, (64, 32)), 3, axis=1)[:, :64]
+    img = img.astype(np.uint16)
+    p = str(tmp_path / "l.tif")
+    assert cv2.imwrite(p, img, [cv2.IMWRITE_TIFF_COMPRESSION, 5])
+    np.testing.assert_array_equal(np.squeeze(T.read_tiff(p)), img)
+
+    # raw-stream equality of the two decoders on the file's strips
+    info = T.TiffReader(p)
+    native_ok = native.get_lib() is not None
+    if native_ok:
+        import srbh_tpu.native as N
+
+        full_native = T.read_tiff(p)
+        saved = N._lib
+        N._lib, N._build_failed = None, True
+        try:
+            full_python = T.read_tiff(p)
+        finally:
+            N._lib, N._build_failed = saved, False
+        np.testing.assert_array_equal(full_native, full_python)
