@@ -168,7 +168,8 @@ class TiffInfo:
 class TiffReader:
     """Single-IFD TIFF reader with windowed access.
 
-    Decoded strips/tiles are LRU-cached (``max_cache_bytes``) — the fishnet
+    Decoded strips/tiles are cached up to ``max_cache_bytes`` (insert-only,
+    GIL-atomic — safe under the threaded loader) — the fishnet
     predictor reads overlapping 64-px windows with a 56-px stride, so every
     strip is touched by several windows; caching turns the city sweep from
     O(windows x strip) decompressions into one pass.
