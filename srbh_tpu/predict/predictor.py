@@ -26,13 +26,19 @@ from srbh_tpu.predict.writers import array2raster, array2raster_rio
 
 
 def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16,
-                   mesh=None):
+                   mesh=None, partition: str = "data"):
     """Jitted batch step: image -> (uint16 height dm, uint16 build softmax).
 
     With ``mesh``, the batch is sharded over the mesh's data axis and the
     params replicated (GSPMD data-parallel inference — the multi-chip form
     of the 301-city sweep; keep ``batch_size`` a multiple of the axis size
     so padded tail batches split evenly).
+
+    ``partition="spatial"`` additionally shards the image ROWS over the
+    mesh's model axis (parallel/mesh.py:spatial_sharding): GSPMD partitions
+    every conv spatially and inserts the halo exchanges — the mode for
+    FEWER, BIGGER windows (e.g. whole 1024-px blocks instead of the 64-px
+    fishnet) whose activations exceed one chip's HBM (SURVEY.md §5.7).
     """
     rgb = jnp.asarray(rgb_idx)
 
@@ -52,9 +58,12 @@ def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16,
 
     if mesh is None:
         return jax.jit(step)
-    from srbh_tpu.parallel.mesh import batch_sharding, replicated
+    from srbh_tpu.parallel.mesh import (batch_sharding, replicated,
+                                        spatial_sharding)
 
-    rep, data = replicated(mesh), batch_sharding(mesh)
+    rep = replicated(mesh)
+    data = spatial_sharding(mesh) if partition == "spatial" \
+        else batch_sharding(mesh)
     return jax.jit(step, in_shardings=(rep, rep, data),
                    out_shardings=(data, data))
 

@@ -69,3 +69,26 @@ class TestSpatialParallel:
         mesh = pmesh.make_mesh(n_model=4)
         xs = jax.device_put(x, pmesh.spatial_sharding(mesh))
         np.testing.assert_allclose(np.asarray(fn(params, xs)), ref, atol=1e-5)
+
+
+class TestSpatialCityStep:
+    """predict.make_city_step(partition='spatial'): row-sharded big-window
+    inference must byte-match the unsharded step's uint16/uint8 outputs."""
+
+    def test_city_step_spatial_matches(self):
+        import __graft_entry__ as g
+        from srbh_tpu.predict.predictor import make_city_step
+
+        model, sr, variables, sr_params, _ = g._flagship(tile=32, batch=2,
+                                                         tiny=True)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (2, 32, 32, 8)).astype(np.float32))
+        plain = make_city_step(model, sr, dtype=jnp.float32)
+        h0, b0 = plain(variables, sr_params, x)
+
+        mesh = pmesh.make_mesh(n_model=4)
+        sp = make_city_step(model, sr, dtype=jnp.float32, mesh=mesh,
+                            partition="spatial")
+        h1, b1 = sp(variables, sr_params, x)
+        np.testing.assert_array_equal(np.asarray(h0), np.asarray(h1))
+        np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
