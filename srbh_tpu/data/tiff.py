@@ -189,11 +189,19 @@ class TiffReader:
             self._e = ">"
         else:
             raise ValueError(f"{path}: not a TIFF")
+        if len(b) < 8:
+            raise ValueError(f"{path}: truncated TIFF header")
         magic, off = struct.unpack(self._e + "HI", b[2:8])
         if magic != 42:
             raise ValueError(f"{path}: bad TIFF magic {magic}")
-        self.tags = self._read_ifd(off)
-        self._parse()
+        try:
+            self.tags = self._read_ifd(off)
+            self._parse()
+        except ValueError:
+            raise
+        except Exception as e:  # uniform error surface for corrupt headers
+            raise ValueError(f"{path}: corrupt TIFF header: "
+                             f"{type(e).__name__}: {e}") from e
 
     def _read_ifd(self, off: int) -> Dict[int, tuple]:
         e, b = self._e, self._buf
@@ -216,12 +224,19 @@ class TiffReader:
         typ, cnt, raw = self.tags[tag]
         if typ in (2, 7):
             return raw
-        if typ == 5 or typ == 10:  # rationals
+        # clamp the declared count to the bytes actually present: a fuzzed
+        # 2^32 count otherwise builds a 4-billion-char struct format string
+        # (observed as a multi-minute stall)
+        cnt = min(cnt, len(raw) // _TYPE_SIZES.get(typ, 1))
+        if typ == 5 or typ == 10:  # rationals (8 B: numerator, denominator)
             fmt = self._e + ("II" if typ == 5 else "ii") * cnt
-            vals = struct.unpack(fmt, raw)
+            vals = struct.unpack(fmt, raw[: 8 * cnt])
             return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(cnt)]
+        if typ not in _TYPE_FMT:
+            raise ValueError(f"{self.path}: corrupt TIFF: tag {tag} has "
+                             f"unknown type {typ}")
         fmt = self._e + _TYPE_FMT[typ] * cnt
-        return list(struct.unpack(fmt, raw))
+        return list(struct.unpack(fmt, raw[: _TYPE_SIZES[typ] * cnt]))
 
     def _tag1(self, tag: int, default=None):
         if tag not in self.tags:
@@ -250,6 +265,50 @@ class TiffReader:
             self.rows_per_strip = int(self._tag1(T_ROWS_PER_STRIP, self.height))
             self.chunk_offsets = [int(v) for v in self._values(T_STRIP_OFFSETS)]
             self.chunk_counts = [int(v) for v in self._values(T_STRIP_COUNTS)]
+        self._validate()
+
+    def _validate(self):
+        """Reject corrupt headers with a uniform ValueError before any
+        decode work: dimension sanity, chunk table consistency, and every
+        chunk inside the file (a fuzzed offset/count otherwise surfaces as
+        struct.error / KeyError / MemoryError deep in the decode path)."""
+        size = len(self._buf)
+        if not (0 < self.width <= 1 << 28 and 0 < self.height <= 1 << 28):
+            raise ValueError(f"{self.path}: corrupt TIFF: bad dimensions "
+                             f"{self.width}x{self.height}")
+        if not (1 <= self.spp <= 1024):
+            raise ValueError(f"{self.path}: corrupt TIFF: samples/pixel {self.spp}")
+        if self.width * self.height * self.spp > 1 << 34:
+            # 17 G-samples (a 130k x 130k band) — far above any city mosaic;
+            # a fuzzed dimension otherwise turns read() into a page-zeroing
+            # stall on a petabyte np.zeros
+            raise ValueError(f"{self.path}: corrupt TIFF: implausible size "
+                             f"{self.width}x{self.height}x{self.spp}")
+        if self.planar not in (1, 2):
+            raise ValueError(f"{self.path}: corrupt TIFF: planar {self.planar}")
+        if len(self.chunk_offsets) != len(self.chunk_counts) or \
+                not self.chunk_offsets:
+            raise ValueError(f"{self.path}: corrupt TIFF: chunk tables "
+                             f"{len(self.chunk_offsets)}/{len(self.chunk_counts)}")
+        if self.tiled:
+            if not (0 < self.tile_w <= 1 << 20 and 0 < self.tile_l <= 1 << 20):
+                raise ValueError(f"{self.path}: corrupt TIFF: tile size")
+        elif not (0 < self.rows_per_strip):
+            raise ValueError(f"{self.path}: corrupt TIFF: rows/strip "
+                             f"{self.rows_per_strip}")
+        for off, cnt in zip(self.chunk_offsets, self.chunk_counts):
+            if off < 0 or cnt < 0 or off + cnt > size:
+                raise ValueError(f"{self.path}: corrupt TIFF: chunk "
+                                 f"[{off}, +{cnt}] outside file of {size} B")
+        # a fuzzed dimension word can claim a multi-GB raster backed by a
+        # few KB of chunks; reading it would stall in np.zeros. Even an
+        # all-constant deflate strip tops out near 1100:1, so 10000:1 only
+        # rejects the impossible.
+        declared = self.width * self.height * self.spp * self.dtype.itemsize
+        if sum(self.chunk_counts) * 10000 < declared:
+            raise ValueError(
+                f"{self.path}: corrupt TIFF: {declared} B declared but only "
+                f"{sum(self.chunk_counts)} B of chunk data")
 
     # ------------------------------------------------------------- metadata
     @property
@@ -295,11 +354,25 @@ class TiffReader:
         cached = self._cache.get(idx)
         if cached is not None:
             return cached
+        if idx >= len(self.chunk_offsets):
+            raise ValueError(f"{self.path}: corrupt TIFF: chunk index {idx} "
+                             f"beyond table of {len(self.chunk_offsets)}")
         raw = self._buf[self.chunk_offsets[idx]:
                         self.chunk_offsets[idx] + self.chunk_counts[idx]]
         expected = int(np.prod(shape)) * self.dtype.itemsize
-        data = _decompress(raw, self.compression, expected)
-        arr = np.frombuffer(data, self.dtype, count=int(np.prod(shape))).reshape(shape)
+        try:
+            data = _decompress(raw, self.compression, expected)
+            n = int(np.prod(shape))
+            if len(data) < expected:
+                # short chunk (corrupt stream): zero-fill the tail so the
+                # error surface stays ValueError-or-data, never frombuffer's
+                data = data + b"\x00" * (expected - len(data))
+            arr = np.frombuffer(data, self.dtype, count=n).reshape(shape)
+        except ValueError:
+            raise
+        except Exception as e:
+            raise ValueError(f"{self.path}: corrupt TIFF chunk {idx}: "
+                             f"{type(e).__name__}: {e}") from e
         if self.predictor == 2:
             arr = np.cumsum(arr, axis=1, dtype=self.dtype)
         if self._cache_bytes + arr.nbytes <= self._max_cache_bytes:

@@ -118,3 +118,71 @@ def test_libtiff_interop_via_cv2(tmp_path, comp):
     write_tiff(q, img, (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), compress=ours)
     back = cv2.imread(q, cv2.IMREAD_UNCHANGED)
     np.testing.assert_array_equal(back, img)
+
+
+class TestCorruptFileHardening:
+    """Corrupt/truncated/garbage TIFFs must fail with ValueError (never
+    struct.error/KeyError/MemoryError or a stall). Found by fuzzing: a
+    corrupted tag count built a 4-billion-char struct format string."""
+
+    def _base(self, tmp_path):
+        from srbh_tpu.data.tiff import write_tiff
+
+        p = str(tmp_path / "a.tif")
+        write_tiff(p, (np.arange(64 * 48) % 251).reshape(64, 48).astype(np.uint8),
+                   (0.0, 1.0, 0.0, 0.0, 0.0, -1.0), compress="deflate")
+        return p, open(p, "rb").read()
+
+    def test_fuzzed_files_only_valueerror(self, tmp_path):
+        import time
+
+        from srbh_tpu.data.tiff import read_tiff
+
+        _, data = self._base(tmp_path)
+        rng = np.random.default_rng(0)
+        q = str(tmp_path / "f.tif")
+        t0 = time.time()
+        for trial in range(150):
+            buf = bytearray(data)
+            mode = trial % 4
+            if mode == 0:
+                buf = bytes(buf[: rng.integers(4, len(buf))])
+            elif mode == 1:
+                for _ in range(rng.integers(1, 8)):
+                    buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+                buf = bytes(buf)
+            elif mode == 2:
+                for _ in range(rng.integers(1, 4)):
+                    buf[rng.integers(0, min(64, len(buf)))] = rng.integers(0, 256)
+                buf = bytes(buf)
+            else:
+                buf = bytes(rng.integers(0, 256, rng.integers(0, 400),
+                                         dtype=np.uint8))
+            open(q, "wb").write(buf)
+            try:
+                read_tiff(q)
+            except ValueError:
+                pass  # the only acceptable failure type
+        assert time.time() - t0 < 120, "fuzzed reads stalled"
+
+    def test_huge_declared_image_rejected(self, tmp_path):
+        from srbh_tpu.data.tiff import TiffReader, read_tiff
+
+        p, data = self._base(tmp_path)
+        r = TiffReader(p)
+        # forge the ImageLength tag value to 2^27 rows in place
+        buf = bytearray(data)
+        # find the IFD entry for tag 257 (ImageLength) and overwrite value
+        import struct as st
+
+        (off,) = st.unpack("<I", buf[4:8])
+        (n,) = st.unpack("<H", buf[off: off + 2])
+        for i in range(n):
+            ent = off + 2 + 12 * i
+            tag, = st.unpack("<H", buf[ent: ent + 2])
+            if tag == 257:
+                buf[ent + 8: ent + 12] = st.pack("<I", 1 << 27)
+        q = str(tmp_path / "huge.tif")
+        open(q, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="corrupt TIFF"):
+            read_tiff(q)
