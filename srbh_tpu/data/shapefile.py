@@ -32,35 +32,54 @@ def read_shapefile(path: str) -> List[ShapeRecord]:
     base = path[:-4] if path.lower().endswith(".shp") else path
     with open(base + ".shp", "rb") as f:
         buf = f.read()
+    if len(buf) < 100:
+        raise ValueError(f"{path}: truncated shapefile header")
     (code,) = struct.unpack(">i", buf[:4])
     if code != 9994:
         raise ValueError(f"{path}: not a shapefile")
     (shape_type,) = struct.unpack("<i", buf[32:36])
     records: List[ShapeRecord] = []
     pos = 100
-    while pos < len(buf):
-        _num, content_len = struct.unpack(">ii", buf[pos: pos + 8])
-        rec = buf[pos + 8: pos + 8 + content_len * 2]
-        (rtype,) = struct.unpack("<i", rec[:4])
-        if rtype in (3, 5, 13, 15):  # polyline/polygon (+Z): bbox in header
-            minx, miny, maxx, maxy = struct.unpack("<4d", rec[4:36])
-            nparts, npoints = struct.unpack("<ii", rec[36:44])
-            parts = list(struct.unpack(f"<{nparts}i", rec[44: 44 + 4 * nparts]))
-            pts_off = 44 + 4 * nparts
-            pts = np.frombuffer(rec, "<f8", count=npoints * 2,
-                                offset=pts_off).reshape(npoints, 2)
-            starts = parts + [npoints]
-            rings = [pts[starts[i]: starts[i + 1]].copy()
-                     for i in range(nparts)]
-            records.append(ShapeRecord((minx, miny, maxx, maxy), rings=rings))
-        elif rtype in (1, 11):  # point
-            x, y = struct.unpack("<2d", rec[4:20])
-            records.append(ShapeRecord((x, y, x, y)))
-        elif rtype == 0:  # null shape
-            records.append(ShapeRecord((0.0, 0.0, 0.0, 0.0)))
-        else:
-            raise ValueError(f"unsupported shape type {rtype}")
-        pos += 8 + content_len * 2
+    try:
+        while pos + 8 <= len(buf):
+            _num, content_len = struct.unpack(">ii", buf[pos: pos + 8])
+            if content_len <= 0 or pos + 8 + content_len * 2 > len(buf):
+                # a fuzzed length of <= 0 would stall the loop in place
+                raise ValueError(f"{path}: corrupt shapefile: record at "
+                                 f"{pos} claims {content_len * 2} bytes")
+            rec = buf[pos + 8: pos + 8 + content_len * 2]
+            (rtype,) = struct.unpack("<i", rec[:4])
+            if rtype in (3, 5, 13, 15):  # polyline/polygon (+Z): bbox first
+                minx, miny, maxx, maxy = struct.unpack("<4d", rec[4:36])
+                nparts, npoints = struct.unpack("<ii", rec[36:44])
+                if nparts < 0 or npoints < 0 or \
+                        44 + 4 * nparts + 16 * npoints > len(rec):
+                    raise ValueError(f"{path}: corrupt shapefile: record at "
+                                     f"{pos}: {nparts} parts/{npoints} points "
+                                     f"exceed {len(rec)} content bytes")
+                parts = list(struct.unpack(f"<{nparts}i",
+                                           rec[44: 44 + 4 * nparts]))
+                pts_off = 44 + 4 * nparts
+                pts = np.frombuffer(rec, "<f8", count=npoints * 2,
+                                    offset=pts_off).reshape(npoints, 2)
+                starts = parts + [npoints]
+                rings = [pts[starts[i]: starts[i + 1]].copy()
+                         for i in range(nparts)]
+                records.append(ShapeRecord((minx, miny, maxx, maxy),
+                                           rings=rings))
+            elif rtype in (1, 11):  # point
+                x, y = struct.unpack("<2d", rec[4:20])
+                records.append(ShapeRecord((x, y, x, y)))
+            elif rtype == 0:  # null shape
+                records.append(ShapeRecord((0.0, 0.0, 0.0, 0.0)))
+            else:
+                raise ValueError(f"unsupported shape type {rtype}")
+            pos += 8 + content_len * 2
+    except ValueError:
+        raise
+    except Exception as e:  # uniform error surface for corrupt content
+        raise ValueError(f"{path}: corrupt shapefile: "
+                         f"{type(e).__name__}: {e}") from e
     # attributes
     dbf = base + ".dbf"
     if os.path.exists(dbf):
@@ -72,14 +91,22 @@ def read_shapefile(path: str) -> List[ShapeRecord]:
 def _read_dbf(path: str) -> List[Dict[str, object]]:
     with open(path, "rb") as f:
         buf = f.read()
+    if len(buf) < 32:
+        raise ValueError(f"{path}: truncated DBF header")
     n_rec, header_len, rec_len = struct.unpack("<IHH", buf[4:12])
+    if rec_len <= 0:
+        raise ValueError(f"{path}: corrupt DBF: record length {rec_len}")
+    # clamp the declared record count to what the file can hold: a fuzzed
+    # uint32 n_rec otherwise spins the record loop for billions of empty
+    # iterations
+    n_rec = min(n_rec, max(0, (len(buf) - header_len)) // rec_len + 1)
     fields = []
     pos = 32
-    while buf[pos] != 0x0D:
-        name = buf[pos: pos + 11].split(b"\x00")[0].decode("ascii")
-        ftype = chr(buf[pos + 11])
-        flen = buf[pos + 16]
-        fdec = buf[pos + 17]
+    while pos < len(buf) and buf[pos] != 0x0D:
+        name = buf[pos: pos + 11].split(b"\x00")[0].decode("ascii", "replace")
+        ftype = chr(buf[pos + 11]) if pos + 11 < len(buf) else "C"
+        flen = buf[pos + 16] if pos + 16 < len(buf) else 0
+        fdec = buf[pos + 17] if pos + 17 < len(buf) else 0
         fields.append((name, ftype, flen, fdec))
         pos += 32
     out = []

@@ -186,3 +186,40 @@ class TestCorruptFileHardening:
         open(q, "wb").write(bytes(buf))
         with pytest.raises(ValueError, match="corrupt TIFF"):
             read_tiff(q)
+
+
+def test_corrupt_shapefile_only_valueerror(tmp_path):
+    """Fuzzed .shp/.dbf must fail with ValueError, never stall (a fuzzed
+    DBF uint32 record count span billions of empty iterations; a <=0 .shp
+    content length stalled the record loop in place)."""
+    import time
+
+    from srbh_tpu.data.shapefile import (ShapeRecord, read_shapefile,
+                                         write_shapefile)
+
+    base = str(tmp_path / "g")
+    write_shapefile(base + ".shp",
+                    [ShapeRecord(bounds=(0.0, 0.0, 1.0, 1.0),
+                                 attributes={"isv": 1})])
+    files = {ext: open(base + ext, "rb").read() for ext in (".shp", ".dbf")}
+    rng = np.random.default_rng(1)
+    t0 = time.time()
+    for trial in range(120):
+        for ext, data in files.items():
+            buf = bytearray(data)
+            mode = trial % 3
+            if mode == 0:
+                buf = bytes(buf[: rng.integers(1, max(2, len(buf)))])
+            elif mode == 1:
+                for _ in range(rng.integers(1, 8)):
+                    buf[rng.integers(0, len(buf))] = rng.integers(0, 256)
+                buf = bytes(buf)
+            else:
+                buf = bytes(rng.integers(0, 256, rng.integers(0, 300),
+                                         dtype=np.uint8))
+            open(base + "_f" + ext, "wb").write(buf)
+        try:
+            read_shapefile(base + "_f.shp")
+        except ValueError:
+            pass
+    assert time.time() - t0 < 60, "fuzzed shapefile reads stalled"
