@@ -104,3 +104,38 @@ class TestTrainDriver:
         files = os.listdir(pred_dir)
         assert any(f.endswith("_predprob.tif") for f in files)
         assert any(f.endswith("_build.tif") for f in files)
+
+
+class TestTensorboardTagParity:
+    REF_EVENTS = ("/root/reference/weights/"
+                  "realesrgan_feature_aggre_weight_globe")
+
+    def test_event_tags_match_reference(self, workdir):
+        """Our TB event files must carry exactly the reference's scalar tag
+        set (train.py:214-222): lr, train/{loss,rmse}, val/{loss,rmse},
+        lossweight/w1-3 — verified against the SHIPPED event file."""
+        import glob
+
+        ea_mod = pytest.importorskip(
+            "tensorboard.backend.event_processing.event_accumulator")
+        ref_files = glob.glob(os.path.join(self.REF_EVENTS, "events*"))
+        if not ref_files:
+            pytest.skip("reference event files not mounted")
+        ref_ea = ea_mod.EventAccumulator(ref_files[0])
+        ref_ea.Reload()
+        ref_tags = set(ref_ea.Tags()["scalars"])
+
+        from tensorboardX import SummaryWriter
+
+        cfg = make_cfg(workdir)
+        cfg.logdir = str(workdir / "tb_logs")
+        cfg.maxepoch = 1
+        writer = SummaryWriter(log_dir=cfg.logdir)
+        trainer.main(cfg, writer=writer)
+        writer.close()
+        ours = glob.glob(os.path.join(cfg.logdir, "events*"))
+        assert ours, "trainer wrote no event file"
+        ea = ea_mod.EventAccumulator(ours[0])
+        ea.Reload()
+        got = set(ea.Tags()["scalars"])
+        assert got == ref_tags, (got, ref_tags)
