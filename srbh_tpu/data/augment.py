@@ -38,19 +38,8 @@ def random_flip(rng: np.random.Generator, img, mask):
 
 
 def grid_shuffle_2x2(rng: np.random.Generator, img, mask):
-    h, w = img.shape[:2]
-    hh, hw = h // 2, w // 2
     order = rng.permutation(4)
-    cells = [(0, 0), (0, hw), (hh, 0), (hh, hw)]
-    # copy first: odd H/W leave a last row/col outside the 2x2 cells, which
-    # must carry the input values, not uninitialised memory
-    img2, mask2 = img.copy(), mask.copy()
-    for dst, src in enumerate(order):
-        dy, dx = cells[dst]
-        sy, sx = cells[src]
-        img2[dy: dy + hh, dx: dx + hw] = img[sy: sy + hh, sx: sx + hw]
-        mask2[dy: dy + hh, dx: dx + hw] = mask[sy: sy + hh, sx: sx + hw]
-    return img2, mask2
+    return _grid_shuffle_apply(img, order), _grid_shuffle_apply(mask, order)
 
 
 def random_rotate(rng: np.random.Generator, img, mask, limit: float = 90.0):
@@ -71,6 +60,59 @@ def augment_pair(rng: np.random.Generator, img: np.ndarray, mask: np.ndarray
     if rng.random() < 0.5:
         img, mask = random_rotate(rng, img, mask)
     return img, mask
+
+
+def _grid_shuffle_apply(arr: np.ndarray, order: np.ndarray) -> np.ndarray:
+    h, w = arr.shape[:2]
+    hh, hw = h // 2, w // 2
+    cells = [(0, 0), (0, hw), (hh, 0), (hh, hw)]
+    # copy first: odd H/W leave a last row/col outside the 2x2 cells, which
+    # must carry the input values, not uninitialised memory
+    out = arr.copy()
+    for dst, src in enumerate(order):
+        dy, dx = cells[dst]
+        sy, sx = cells[src]
+        out[dy: dy + hh, dx: dx + hw] = arr[sy: sy + hh, sx: sx + hw]
+    return out
+
+
+def augment_pair_lowres(rng: np.random.Generator, img_lr: np.ndarray,
+                        mask: np.ndarray, scale: int = 4
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """``augment_pair`` fused with the x4-nearest-up / x0.25-down image dance
+    of the dataset recipe (BH_loader.py:354-365), bit-identical but without
+    materialising the upsampled image unless the rotation branch fires.
+
+    Given the low-res image ``img_lr`` (H, W, C) and the hi-res ``mask``
+    (``scale``·H, ``scale``·W), returns exactly
+    ``augment_pair(rng, up4(img_lr), mask)`` with the image subsampled back by
+    ``[::scale, ::scale]``:
+
+    * flip and 2x2 grid shuffle are 4x4-block-aligned pixel permutations of
+      the block-replicated image, so they commute exactly with nearest
+      up/down sampling and run on the low-res image directly;
+    * rotation interpolates (bilinear) across block boundaries, so only that
+      branch replicates to hi-res (``np.repeat`` == cv2 INTER_NEAREST x4),
+      warps with the identical affine call, and subsamples.
+
+    The RNG draw order/types match ``augment_pair`` exactly, so a given
+    generator state yields the same augmentation in both paths.
+    """
+    if rng.random() < 0.5:
+        d = int(rng.integers(-1, 2))
+        img_lr, mask = cv2.flip(img_lr, d), cv2.flip(mask, d)
+    if rng.random() < 0.5:
+        order = rng.permutation(4)
+        img_lr = _grid_shuffle_apply(img_lr, order)
+        mask = _grid_shuffle_apply(mask, order)
+    if rng.random() < 0.5:
+        angle = float(rng.uniform(-90.0, 90.0))
+        h, w = mask.shape[:2]
+        mat = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+        img = np.repeat(np.repeat(img_lr, scale, axis=0), scale, axis=1)
+        img_lr = _warp(img, mat, cv2.INTER_LINEAR)[::scale, ::scale]
+        mask = _warp(mask, mat, cv2.INTER_NEAREST)
+    return img_lr, mask
 
 
 def color_jitter(rng: np.random.Generator, img01: np.ndarray,

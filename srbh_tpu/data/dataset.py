@@ -23,7 +23,7 @@ import cv2
 import numpy as np
 import pandas as pd
 
-from srbh_tpu.data.augment import augment_pair
+from srbh_tpu.data.augment import augment_pair_lowres
 from srbh_tpu.data.tiff import read_tiff
 from srbh_tpu.ops.hierarchy import DEFAULT_HIR, WEIGHT_METHODS, build_hierarchy_lut
 from srbh_tpu.ops.normalize import load_stats_table, norm_offsets
@@ -75,18 +75,24 @@ class S12GlobeDataset:
             stats = np.loadtxt(preweight)
             self.heightweight = WEIGHT_METHODS.get(
                 weightmethod, WEIGHT_METHODS["sqrt"])(stats, hir)
+        if isaggre and not ishir:
+            # the aggregated-weight path indexes the hierarchy LUT; the
+            # reference crashes identically (buildhir only exists when ishir,
+            # BH_loader.py:326-329, yet is used at :389) — fail clearly here
+            raise ValueError("isaggre=True requires ishir=True")
         self.isaggre = isaggre
         self.ishir = ishir
         self.buildhir = build_hierarchy_lut(hir) if ishir else None
         self._rng = np.random.default_rng(seed)
+        # per-sample pandas .iloc costs ~2 ms; resolve rows to tuples once
+        self._rows = list(self.datalist.itertuples(index=False, name=None))
+        self._weight32 = self.heightweight.astype(np.float32)
 
     def __len__(self):
-        return len(self.datalist)
+        return len(self._rows)
 
     def _load_pair(self, index):
-        row = self.datalist.iloc[index]
-        basename, s1dir, s2dir, bhdir = (row.iloc[0], row.iloc[1],
-                                         row.iloc[2], row.iloc[3])
+        basename, s1dir, s2dir, bhdir = self._rows[index][:4]
         s2 = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
         img = np.concatenate([s2, s1], axis=-1).astype(np.float32)
@@ -99,25 +105,29 @@ class S12GlobeDataset:
 
     def __getitem__(self, index):
         img, height, img_path = self._load_pair(index)
-        h, w = img.shape[:2]
-        # x4 nearest up so augmentation acts on the 2.5 m grid (BH_loader.py:355)
-        img = cv2.resize(img, (4 * w, 4 * h), interpolation=cv2.INTER_NEAREST)
+        # The reference recipe is: x4 nearest up (so augmentation acts on the
+        # 2.5 m grid) -> aug -> normalise -> x0.25 nearest -> clip
+        # (BH_loader.py:354-369). x4-up then [::4] is the identity, flips /
+        # grid shuffles are 4x4-block-aligned, and normalisation commutes
+        # with subsampling — so the fused low-res path below is bit-identical
+        # while only the rotation branch ever touches a 4x-res image.
         if self.aug:
-            img, height = augment_pair(self._rng, img, height)
+            img, height = augment_pair_lowres(self._rng, img, height)
         # normalise: first nchans are S2, rest S1 (BH_loader.py:361-363)
         bs2 = self.nchans
         if bs2 > 0 and self.s2_off is not None:
             img[..., :bs2] = (img[..., :bs2] - self.s2_off) / self.s2_scale
         if img.shape[-1] > bs2 and self.s1_off is not None:
             img[..., bs2:] = (img[..., bs2:] - self.s1_off) / self.s1_scale
-        img = img[::4, ::4, :]  # x0.25 nearest (BH_loader.py:365)
         if isinstance(self.datarange, tuple):
             img = img.clip(*self.datarange)
+        return self._finish_sample(img, height, img_path)
 
+    def _finish_sample(self, img, height, img_path):
         height = height.astype(np.float32)
         if self.ishir:
             build = self.buildhir[height.astype(np.int64).clip(0, 255)]
-            weight = self.heightweight[build].astype(np.float32)
+            weight = self._weight32[build]
         else:
             build = (height > 0).astype(np.int64)
             weight = np.ones_like(build, np.float32)
@@ -129,7 +139,7 @@ class S12GlobeDataset:
             aggre = _aggregate_numpy(height, 0.25)
             build_aggre = self.buildhir[aggre.astype(np.int64).clip(0, 255)]
             sample["height_aggre"] = aggre
-            sample["weight_aggre"] = self.heightweight[build_aggre].astype(np.float32)
+            sample["weight_aggre"] = self._weight32[build_aggre]
         return sample
 
 
@@ -137,9 +147,7 @@ class S2GlobeDataset(S12GlobeDataset):
     """S2-only ablation (BH_loader.py:404-516)."""
 
     def _load_pair(self, index):
-        row = self.datalist.iloc[index]
-        basename, _s1dir, s2dir, bhdir = (row.iloc[0], row.iloc[1],
-                                          row.iloc[2], row.iloc[3])
+        basename, _s1dir, s2dir, bhdir = self._rows[index][:4]
         s2 = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         img = s2.astype(np.float32)
         hpath = os.path.join(self.rootname, bhdir, basename)
@@ -152,9 +160,7 @@ class S1GlobeDataset(S12GlobeDataset):
     """S1-only ablation (BH_loader.py:520-634)."""
 
     def _load_pair(self, index):
-        row = self.datalist.iloc[index]
-        basename, s1dir, _s2dir, bhdir = (row.iloc[0], row.iloc[1],
-                                          row.iloc[2], row.iloc[3])
+        basename, s1dir, _s2dir, bhdir = self._rows[index][:4]
         s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
         img = s1.astype(np.float32)
         hpath = os.path.join(self.rootname, bhdir, basename)
@@ -163,32 +169,15 @@ class S1GlobeDataset(S12GlobeDataset):
         return img, height, os.path.join(self.rootname, s1dir, basename)
 
     def __getitem__(self, index):
-        # S1-only: all channels normalised with the S1 table
+        # S1-only: all channels normalised with the S1 table (same fused
+        # low-res recipe as S12GlobeDataset.__getitem__)
         img, height, img_path = self._load_pair(index)
-        h, w = img.shape[:2]
-        img = cv2.resize(img, (4 * w, 4 * h), interpolation=cv2.INTER_NEAREST)
         if self.aug:
-            img, height = augment_pair(self._rng, img, height)
+            img, height = augment_pair_lowres(self._rng, img, height)
         img = (img - self.s1_off) / self.s1_scale
-        img = img[::4, ::4, :]
         if isinstance(self.datarange, tuple):
             img = img.clip(*self.datarange)
-        height = height.astype(np.float32)
-        if self.ishir:
-            build = self.buildhir[height.astype(np.int64).clip(0, 255)]
-            weight = self.heightweight[build].astype(np.float32)
-        else:
-            build = (height > 0).astype(np.int64)
-            weight = np.ones_like(build, np.float32)
-        sample = {"image": np.ascontiguousarray(img.astype(np.float32)),
-                  "height": height, "build": build.astype(np.int32),
-                  "weight": weight, "path": img_path}
-        if self.isaggre:
-            aggre = _aggregate_numpy(height, 0.25)
-            build_aggre = self.buildhir[aggre.astype(np.int64).clip(0, 255)]
-            sample["height_aggre"] = aggre
-            sample["weight_aggre"] = self.heightweight[build_aggre].astype(np.float32)
-        return sample
+        return self._finish_sample(img.astype(np.float32), height, img_path)
 
     def __init__(self, *args, **kwargs):
         kwargs.setdefault("nchans", 0)
@@ -215,16 +204,16 @@ class LRHRPairDataset:
                                  nchans)
         self.off, self.scale = norm_offsets(table, normmethod)
         self._rng = np.random.default_rng(seed)
+        self._rows = list(self.datalist.itertuples(index=False, name=None))
 
     def __len__(self):
-        return len(self.datalist)
+        return len(self._rows)
 
     def __getitem__(self, index):
-        row = self.datalist.iloc[index]
-        basename = row.iloc[0]
-        s2dir = (row.iloc[2] if len(self.datalist.columns) > 2
-                 else self.s2dir)
-        gedir = row[4] if len(self.datalist.columns) > 4 else self.gedir
+        row = self._rows[index]
+        basename = row[0]
+        s2dir = row[2] if len(row) > 2 else self.s2dir
+        gedir = row[4] if len(row) > 4 else self.gedir
         lr = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         hr = read_tiff(os.path.join(self.rootname, gedir, basename))[..., :3]
         lr = ((lr.astype(np.float32) - self.off) / self.scale).clip(0, 1)

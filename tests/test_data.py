@@ -114,6 +114,49 @@ class TestDataset:
         np.testing.assert_allclose(
             s["weight"], ds.heightweight[s["build"]], rtol=1e-6)
 
+    def test_fused_lowres_path_bit_identical_to_literal_recipe(self, synth_root):
+        """The dataset's fused low-res pipeline must reproduce the literal
+        reference recipe (BH_loader.py:354-369: x4 nearest up -> augment at
+        256 px -> normalise -> [::4] down -> clip) bit-for-bit, rotation
+        branch included."""
+        import cv2
+
+        from srbh_tpu.data.augment import augment_pair
+        from srbh_tpu.data.tiff import read_tiff
+
+        ds = self.make(synth_root, aug=True, seed=11)
+        literal_rng = np.random.default_rng(11)
+        rot_seen = False
+        for i in range(8):
+            idx = i % len(ds)
+            # literal recipe, consuming an identical generator stream
+            basename = ds._rows[idx][0]
+            s2 = read_tiff(str(synth_root / "s2x" / basename))[..., :6]
+            s1 = read_tiff(str(synth_root / "s1x" / basename))
+            img = np.concatenate([s2, s1], axis=-1).astype(np.float32)
+            height = read_tiff(str(synth_root / "bhx" / basename))[..., 0]
+            state0 = literal_rng.bit_generator.state
+            img = cv2.resize(img, (256, 256), interpolation=cv2.INTER_NEAREST)
+            img, height = augment_pair(literal_rng, img, height)
+            img[..., :6] = (img[..., :6] - ds.s2_off) / ds.s2_scale
+            img[..., 6:] = (img[..., 6:] - ds.s1_off) / ds.s1_scale
+            img = img[::4, ::4, :].clip(0, 1)
+            # replay the same stream through the dataset's fused path
+            ds._rng = np.random.default_rng(11)
+            ds._rng.bit_generator.state = state0
+            s = ds[idx]
+            np.testing.assert_array_equal(s["image"], img)
+            np.testing.assert_array_equal(s["height"], height.astype(np.float32))
+            # track that at least one iteration exercised the rotate branch
+            probe = np.random.default_rng(11)
+            probe.bit_generator.state = state0
+            if probe.random() < 0.5:
+                probe.integers(-1, 2)
+            if probe.random() < 0.5:
+                probe.permutation(4)
+            rot_seen = rot_seen or probe.random() < 0.5
+        assert rot_seen
+
     def test_augmentation_changes_pixels_and_stays_joint(self, synth_root):
         ds = self.make(synth_root, aug=True, seed=7)
         ds2 = self.make(synth_root, aug=False)
