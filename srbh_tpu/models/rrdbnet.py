@@ -254,7 +254,7 @@ class RRDBNetSimple(nn.Module):
             # the old generator's 0.1-scaled init is commented out in the
             # reference (SR/RRDBNet.py:75-77) -> torch's default conv init
             body = RRDB(self.num_feat, self.num_grow_ch, self.dtype,
-                        self.fused, growth_init=torch_conv_default_init,
+                        self.fused, growth_init=torch_conv_default_init(),
                         name=f"body_{i}")(body)
         body = tconv(self.num_feat, 3, dtype=self.dtype, name="trunk_conv")(body)
         feat = feat + body

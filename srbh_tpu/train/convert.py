@@ -92,6 +92,21 @@ def convert_rrdbnet(sd: Mapping, num_block: int = 23) -> dict:
     return {"params": p}
 
 
+def convert_rrdbnet_simple(sd: Mapping, num_block: int = 23) -> dict:
+    """Older ESRGAN generator (SR/RRDBNet.py:53-78): conv_first /
+    RRDB_trunk.N.RDBM.convK / trunk_conv / upconv1 / upconv2 / HRconv /
+    conv_last."""
+    p: dict = {"conv_first": _conv(sd, "conv_first")}
+    for i in range(num_block):
+        p[f"body_{i}"] = {
+            f"rdb{r}": {f"conv{c}": _conv(sd, f"RRDB_trunk.{i}.RDB{r}.conv{c}")
+                        for c in (1, 2, 3, 4, 5)}
+            for r in (1, 2, 3)}
+    for name in ("trunk_conv", "upconv1", "upconv2", "HRconv", "conv_last"):
+        p[name] = _conv(sd, name)
+    return {"params": p}
+
+
 def convert_unet_discriminator_sn(sd: Mapping) -> dict:
     """UNetDiscriminatorSN (SR/rrdbnet_arch.py:244-303): conv0/conv9 plain,
     conv1..conv8 spectral-normalised. The checkpoint's ``weight_u`` seeds

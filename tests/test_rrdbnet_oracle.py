@@ -120,6 +120,62 @@ def test_rrdbnet_forward_matches_torch(fused):
     np.testing.assert_allclose(_nchw(got_fea), want_fea, atol=3e-5)
 
 
+class _TorchRRDBSimpleBlock(torch.nn.Module):
+    """RRDB with the old generator's RDB1/RDB2/RDB3 naming
+    (SR/RRDBNet.py:37-50)."""
+
+    def __init__(self, nf, gc):
+        super().__init__()
+        self.RDB1 = _TorchDenseBlock(nf, gc)
+        self.RDB2 = _TorchDenseBlock(nf, gc)
+        self.RDB3 = _TorchDenseBlock(nf, gc)
+
+    def forward(self, x):
+        return self.RDB3(self.RDB2(self.RDB1(x))) * 0.2 + x
+
+
+class _TorchRRDBNetSimple(torch.nn.Module):
+    """Old 4-channel generator topology (SR/RRDBNet.py:53-78): no
+    pixel-unshuffle, trunk_conv/upconv/HRconv naming, activated HR conv."""
+
+    def __init__(self, cin=4, cout=3, nf=8, nb=2, gc=8):
+        super().__init__()
+        self.conv_first = torch.nn.Conv2d(cin, nf, 3, 1, 1)
+        self.RRDB_trunk = torch.nn.Sequential(
+            *[_TorchRRDBSimpleBlock(nf, gc) for _ in range(nb)])
+        self.trunk_conv = torch.nn.Conv2d(nf, nf, 3, 1, 1)
+        self.upconv1 = torch.nn.Conv2d(nf, nf, 3, 1, 1)
+        self.upconv2 = torch.nn.Conv2d(nf, nf, 3, 1, 1)
+        self.HRconv = torch.nn.Conv2d(nf, nf, 3, 1, 1)
+        self.conv_last = torch.nn.Conv2d(nf, cout, 3, 1, 1)
+
+    def forward(self, x):
+        feat = self.conv_first(x)
+        feat = feat + self.trunk_conv(self.RRDB_trunk(feat))
+        for conv in (self.upconv1, self.upconv2):
+            feat = F.leaky_relu(
+                conv(F.interpolate(feat, scale_factor=2, mode="nearest")),
+                0.2)
+        return self.conv_last(F.leaky_relu(self.HRconv(feat), 0.2))
+
+
+def test_rrdbnet_simple_matches_torch():
+    from srbh_tpu.models import RRDBNetSimple
+
+    torch.manual_seed(2)
+    tm = _TorchRRDBNetSimple(nf=8, nb=2, gc=8).eval()
+    x = torch.rand(2, 4, 8, 8)
+    with torch.no_grad():
+        want = tm(x).numpy()
+
+    variables = convert.convert_rrdbnet_simple(_state_dict_numpy(tm),
+                                               num_block=2)
+    m = RRDBNetSimple(num_block=2, num_feat=8, num_grow_ch=8)
+    got = jax.jit(m.apply)(variables, _nhwc(x))
+    assert got.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(_nchw(got), want, atol=3e-5)
+
+
 def test_rrdbnet_scale2_pixel_unshuffle_matches_torch():
     from srbh_tpu.models import RRDBNet
 
