@@ -98,10 +98,30 @@ def main_stats_merge(s1list: Sequence[str], subdir: str, nband: int,
     _write_tables(stats, subdir, resroot)
 
 
+def _plot_histogram(hist: np.ndarray, savepath: str, savename: str) -> None:
+    """Bar chart of the first 50 bins -> ``{savename}_plot.jpg``
+    (stats_dataset_globe.py:166-175); silently skipped without matplotlib."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # pragma: no cover - matplotlib is an optional extra
+        return
+    rate = hist / hist.sum() if hist.sum() else hist
+    fig, ax = plt.subplots()
+    ax.bar(np.arange(50), rate[:50])
+    ax.set_ylabel("Proportion (%)")
+    ax.set_xlabel("Number of floors")
+    fig.savefig(join(savepath, savename + "_plot.jpg"), dpi=300)
+    plt.close(fig)
+
+
 def height_histogram(height_dir: str, savepath: str, savename: str,
-                     filelist: Optional[str] = None) -> np.ndarray:
-    """256-bin histogram of uint8 height tiles -> ``{savename}.txt`` (+csv),
-    the ``preweight`` input of the loaders (BH_loader.py:313-315)."""
+                     filelist: Optional[str] = None,
+                     plot: bool = True) -> np.ndarray:
+    """256-bin histogram of uint8 height tiles -> ``{savename}.txt`` (+csv
+    and ``_plot.jpg``), the ``preweight`` input of the loaders
+    (BH_loader.py:313-315)."""
     if filelist is None:
         paths = sorted(glob(join(height_dir, "*.tif")))
     else:
@@ -116,15 +136,23 @@ def height_histogram(height_dir: str, savepath: str, savename: str,
     rate = hist / hist.sum() if hist.sum() else hist
     pd.DataFrame({"height": np.arange(256), "number": hist, "rate": rate}
                  ).to_csv(join(savepath, savename + ".csv"))
+    if plot:
+        _plot_histogram(hist, savepath, savename)
     return hist
 
 
 def merge_height_histograms(bhlist: Sequence[str], savepath: str,
-                            savename: str = "bh_stats_globe") -> np.ndarray:
+                            savename: str = "bh_stats_globe",
+                            plot: bool = True) -> np.ndarray:
     total = np.zeros((256,), np.float64)
     for name in bhlist:
         total += np.loadtxt(join(savepath, name + ".txt"))
     np.savetxt(join(savepath, savename + ".txt"), total)
+    rate = total / total.sum() if total.sum() else total
+    pd.DataFrame({"height": np.arange(256), "number": total, "rate": rate}
+                 ).to_csv(join(savepath, savename + ".csv"))
+    if plot:
+        _plot_histogram(total, savepath, savename)
     return total
 
 

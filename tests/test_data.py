@@ -57,6 +57,21 @@ class TestStats:
         assert t.shape == (2, 6)
         hist = np.loadtxt(synth_root / "stats" / "bh_stats.txt")
         assert hist.shape == (256,) and hist.sum() == 6 * 256 * 256
+        # reference writes a bar-chart jpg alongside the tables
+        # (stats_dataset_globe.py:166-175)
+        assert (synth_root / "stats" / "bh_stats_plot.jpg").exists()
+
+    def test_merge_histograms_writes_csv_and_plot(self, synth_root, tmp_path):
+        import shutil
+        sp = tmp_path / "m"
+        sp.mkdir()
+        shutil.copy(synth_root / "stats" / "bh_stats.txt", sp / "a.txt")
+        shutil.copy(synth_root / "stats" / "bh_stats.txt", sp / "b.txt")
+        total = dstats.merge_height_histograms(["a", "b"], str(sp), "globe")
+        assert total.sum() == 2 * 6 * 256 * 256
+        df = pd.read_csv(sp / "globe.csv", index_col=0)
+        assert list(df.columns) == ["height", "number", "rate"]
+        assert (sp / "globe_plot.jpg").exists()
 
 
 class TestDataset:
