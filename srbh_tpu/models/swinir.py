@@ -150,7 +150,7 @@ class SwinTransformerBlock(nn.Module):
         shift = 0 if min(h, w) <= self.window_size else self.shift_size
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
             mask = jnp.asarray(shift_attn_mask(h, w, ws, shift))
@@ -165,7 +165,7 @@ class SwinTransformerBlock(nn.Module):
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
 
         x = shortcut + self._drop_path(x, train)
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(c * self.mlp_ratio), c, dtype=self.dtype, name="mlp")(y)
         return x + self._drop_path(y, train)
 
@@ -248,7 +248,7 @@ class SwinIR(nn.Module):
 
         def features(feat):
             if self.patch_norm:
-                f = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(feat)
+                f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(feat)
             else:
                 f = feat
             total = sum(self.depths)
@@ -263,7 +263,7 @@ class SwinIR(nn.Module):
                          use_pallas=self.use_pallas,
                          dtype=self.dtype, name=f"layer{li}")(f, train)
                 start += depth
-            f = nn.LayerNorm(dtype=self.dtype, name="norm")(f)
+            f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(f)
             return f
 
         if self.upsampler == "pixelshuffle":
