@@ -350,3 +350,129 @@ def load_torch_tar(path: str, key: Optional[str] = None) -> Mapping:
         payload = payload[key]
     return {k: v.numpy() if hasattr(v, "numpy") else v
             for k, v in payload.items()}
+
+
+# ---------------------------------------------------------------------------
+# npz tree round-trip + CLI
+# ---------------------------------------------------------------------------
+
+def save_tree_npz(path: str, tree: Mapping) -> None:
+    """Save a nested variables tree as a flat ``.npz`` ('/'-joined keys) —
+    a framework-agnostic interchange file (no orbax/torch needed to read)."""
+    from flax.traverse_util import flatten_dict
+
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(tree).items()}
+    np.savez(path, **flat)
+
+
+def load_tree_npz(path: str) -> dict:
+    """Inverse of :func:`save_tree_npz`."""
+    from flax.traverse_util import unflatten_dict
+
+    with np.load(path) as z:
+        return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+
+
+_WRAPPER_KEYS = ("state_dict", "net_g_ema", "params_ema", "params", "net_g")
+
+
+def _load_state_dict_auto(path: str, key: Optional[str]):
+    """torch.load + unwrap: explicit ``key``, else the first of
+    ``state_dict/net_g_ema/params_ema/params/net_g`` present, else the
+    payload itself. Returns (state_dict, full_payload)."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu")
+    sd = payload
+    if key is not None:
+        sd = payload[key]
+    elif isinstance(payload, Mapping):
+        for k in _WRAPPER_KEYS:
+            if k in payload and isinstance(payload[k], Mapping):
+                sd = payload[k]
+                break
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return sd, payload
+
+
+def main(argv=None) -> str:
+    """CLI: convert a reference torch ``.tar`` checkpoint to a Flax ``.npz``.
+
+    Twin of the reference's implicit checkpoint contract (train.py:199-212
+    writes {'epoch','state_dict','log_vars','best_acc'};
+    SR/rrdbnet_arch.py:511-522 writes {'params','params_ema'}): reference
+    users run e.g.
+
+        python -m srbh_tpu.train.convert checkpoint20.tar height.npz \
+            --arch height
+        python -m srbh_tpu.train.convert checkpoint2.tar sr.npz \
+            --arch rrdbnet --key net_g_ema
+
+    and load the result with ``load_tree_npz`` (a plain variables tree for
+    ``Model.apply``). ``--arch height`` also stashes the tar's ``log_vars``
+    (adaptive-loss weights) under ``log_vars/`` in the npz.
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        prog="python -m srbh_tpu.train.convert", description=main.__doc__)
+    ap.add_argument("input", help="torch .tar/.pth checkpoint")
+    ap.add_argument("output", help="output .npz path")
+    ap.add_argument("--arch", required=True, choices=[
+        "height", "rrdbnet", "rrdbnet-simple", "edsr", "espcn", "swinir",
+        "unet-sn", "imagenet-encoder"])
+    ap.add_argument("--key", default=None,
+                    help="sub-dict key in the tar (default: auto-detect "
+                         f"{'/'.join(_WRAPPER_KEYS)})")
+    ap.add_argument("--num-block", type=int, default=23,
+                    help="RRDB blocks (rrdbnet[-simple])")
+    ap.add_argument("--n-resblocks", type=int, default=16, help="EDSR blocks")
+    ap.add_argument("--no-strict", action="store_true",
+                    help="EDSR: skip missing tail keys (partial load)")
+    ap.add_argument("--no-aggre", action="store_true",
+                    help="height: model without the aggre_height conv")
+    ap.add_argument("--depths", type=int, nargs="+", default=[6, 6, 6, 6],
+                    help="SwinIR RSTB depths")
+    ap.add_argument("--upsampler", default="pixelshuffle",
+                    help="SwinIR head mode")
+    ap.add_argument("--encoder-name", default="efficientnet-b4")
+    ap.add_argument("--in-channels", type=int, default=None,
+                    help="imagenet-encoder: widen the stem to this many "
+                         "input channels (height model uses 8)")
+    args = ap.parse_args(argv)
+
+    sd, payload = _load_state_dict_auto(args.input, args.key)
+    if args.arch == "height":
+        tree = convert_height_model(sd, isaggre=not args.no_aggre)
+        if isinstance(payload, Mapping) and "log_vars" in payload:
+            lv = payload["log_vars"]
+            tree["log_vars"] = {
+                f"w{i + 1}": np.asarray(
+                    v.detach().numpy() if hasattr(v, "detach") else v,
+                    np.float32)
+                for i, v in enumerate(lv)}
+    elif args.arch == "rrdbnet":
+        tree = convert_rrdbnet(sd, num_block=args.num_block)
+    elif args.arch == "rrdbnet-simple":
+        tree = convert_rrdbnet_simple(sd, num_block=args.num_block)
+    elif args.arch == "edsr":
+        tree = convert_edsr(sd, n_resblocks=args.n_resblocks,
+                            strict=not args.no_strict)
+    elif args.arch == "espcn":
+        tree = convert_espcn(sd)
+    elif args.arch == "swinir":
+        tree = convert_swinir(sd, depths=tuple(args.depths),
+                              upsampler=args.upsampler)
+    elif args.arch == "unet-sn":
+        tree = convert_unet_discriminator_sn(sd)
+    else:  # imagenet-encoder
+        tree = convert_efficientnet_imagenet(
+            sd, encoder_name=args.encoder_name, in_channels=args.in_channels)
+    save_tree_npz(args.output, tree)
+    print(f"wrote {args.output} ({args.arch})")
+    return args.output
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
