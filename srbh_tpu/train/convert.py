@@ -295,7 +295,8 @@ def load_imagenet_encoder(variables: Mapping, sd: Mapping,
     return {"params": params, "batch_stats": stats}
 
 
-def convert_height_model(sd: Mapping, isaggre: bool = True) -> dict:
+def convert_height_model(sd: Mapping, isaggre: bool = True,
+                         encoder_name: str = "efficientnet-b4") -> dict:
     """SRRegressClsFeature (mymodels.py:233-337): smp EfficientNet encoder +
     two UnetDecoders + hrfeat/reg/seg heads (+ aggre conv).
 
@@ -305,7 +306,7 @@ def convert_height_model(sd: Mapping, isaggre: bool = True) -> dict:
     params: dict = {}
     stats: dict = {}
     params["encoder"], stats["encoder"] = _convert_encoder(
-        sd, "encoder.", "efficientnet-b4")
+        sd, "encoder.", encoder_name)
 
     # ---- decoders (smp UnetDecoder: blocks.N.conv1/conv2, each .0 conv .1 bn)
     for dname in ("decoder1", "decoder2"):
@@ -444,7 +445,8 @@ def main(argv=None) -> str:
 
     sd, payload = _load_state_dict_auto(args.input, args.key)
     if args.arch == "height":
-        tree = convert_height_model(sd, isaggre=not args.no_aggre)
+        tree = convert_height_model(sd, isaggre=not args.no_aggre,
+                                    encoder_name=args.encoder_name)
         if isinstance(payload, Mapping) and "log_vars" in payload:
             lv = payload["log_vars"]
             tree["log_vars"] = {
