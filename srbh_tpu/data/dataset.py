@@ -83,13 +83,26 @@ class S12GlobeDataset:
         self.isaggre = isaggre
         self.ishir = ishir
         self.buildhir = build_hierarchy_lut(hir) if ishir else None
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         # per-sample pandas .iloc costs ~2 ms; resolve rows to tuples once
         self._rows = list(self.datalist.itertuples(index=False, name=None))
         self._weight32 = self.heightweight.astype(np.float32)
 
     def __len__(self):
         return len(self._rows)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation stream (torch's per-epoch loader state).
+        Called by the trainer each epoch."""
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        """Augmentation RNG as a pure function of (seed, epoch, index):
+        deterministic for a given cfg.seed regardless of loader thread
+        interleaving or num_workers (a shared np Generator is not
+        thread-safe under the ThreadPoolExecutor loader)."""
+        return np.random.default_rng((self.seed, self._epoch, index))
 
     def _load_pair(self, index):
         basename, s1dir, s2dir, bhdir = self._rows[index][:4]
@@ -112,7 +125,7 @@ class S12GlobeDataset:
         # with subsampling — so the fused low-res path below is bit-identical
         # while only the rotation branch ever touches a 4x-res image.
         if self.aug:
-            img, height = augment_pair_lowres(self._rng, img, height)
+            img, height = augment_pair_lowres(self._sample_rng(index), img, height)
         # normalise: first nchans are S2, rest S1 (BH_loader.py:361-363)
         bs2 = self.nchans
         if bs2 > 0 and self.s2_off is not None:
@@ -173,7 +186,7 @@ class S1GlobeDataset(S12GlobeDataset):
         # low-res recipe as S12GlobeDataset.__getitem__)
         img, height, img_path = self._load_pair(index)
         if self.aug:
-            img, height = augment_pair_lowres(self._rng, img, height)
+            img, height = augment_pair_lowres(self._sample_rng(index), img, height)
         img = (img - self.s1_off) / self.s1_scale
         if isinstance(self.datarange, tuple):
             img = img.clip(*self.datarange)
@@ -203,11 +216,15 @@ class LRHRPairDataset:
         table = load_stats_table(os.path.join(datastats, f"{s2dir}_{normmethod}.txt"),
                                  nchans)
         self.off, self.scale = norm_offsets(table, normmethod)
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
         self._rows = list(self.datalist.itertuples(index=False, name=None))
 
     def __len__(self):
         return len(self._rows)
+
+    set_epoch = S12GlobeDataset.set_epoch
+    _sample_rng = S12GlobeDataset._sample_rng
 
     def __getitem__(self, index):
         row = self._rows[index]
@@ -218,7 +235,9 @@ class LRHRPairDataset:
         hr = read_tiff(os.path.join(self.rootname, gedir, basename))[..., :3]
         lr = ((lr.astype(np.float32) - self.off) / self.scale).clip(0, 1)
         hr = hr.astype(np.float32) / 255.0
-        if self.aug and self._rng.random() < 0.5:
-            d = int(self._rng.integers(-1, 2))
-            lr, hr = cv2.flip(lr, d), cv2.flip(hr, d)
+        if self.aug:
+            rng = self._sample_rng(index)
+            if rng.random() < 0.5:
+                d = int(rng.integers(-1, 2))
+                lr, hr = cv2.flip(lr, d), cv2.flip(hr, d)
         return {"lq": np.ascontiguousarray(lr), "gt": np.ascontiguousarray(hr)}

@@ -36,10 +36,19 @@ class SimpleTileDataset:
             self.datalist = self.datalist[:num_sample]
         self.aug = aug
         self.multi_scale = multi_scale
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
 
     def __len__(self):
         return len(self.datalist)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, index: int) -> np.random.Generator:
+        # pure function of (seed, epoch, index): thread-safe under the
+        # threaded loader, reproducible for any num_workers
+        return np.random.default_rng((self.seed, self._epoch, index))
 
     def __getitem__(self, index):
         img = read_tiff(self.datalist.iloc[index, 0]).astype(np.float32)
@@ -47,7 +56,7 @@ class SimpleTileDataset:
         h, w = img.shape[:2]
         img = cv2.resize(img, (4 * w, 4 * h), interpolation=cv2.INTER_NEAREST)
         if self.aug:
-            img, lab = augment_pair(self._rng, img, lab)
+            img, lab = augment_pair(self._sample_rng(index), img, lab)
         img = img[::4, ::4, :] / 255.0
         sample = {"image": np.ascontiguousarray(img)}
         if self.multi_scale:

@@ -71,6 +71,10 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict]:
         indices = self._indices()
+        if hasattr(self.dataset, "set_epoch"):
+            # advance the dataset's per-(seed, epoch, index) augmentation
+            # stream: thread-safe and reproducible under any num_workers
+            self.dataset.set_epoch(self.epoch)
         self.epoch += 1
         batches = [indices[i: i + self.batch_size]
                    for i in range(0, len(indices), self.batch_size)]

@@ -96,10 +96,11 @@ def _read_dbf(path: str) -> List[Dict[str, object]]:
     n_rec, header_len, rec_len = struct.unpack("<IHH", buf[4:12])
     if rec_len <= 0:
         raise ValueError(f"{path}: corrupt DBF: record length {rec_len}")
-    # clamp the declared record count to what the file can hold: a fuzzed
-    # uint32 n_rec otherwise spins the record loop for billions of empty
-    # iterations
-    n_rec = min(n_rec, max(0, (len(buf) - header_len)) // rec_len + 1)
+    # clamp the declared record count to the number of COMPLETE records the
+    # file can hold: a fuzzed uint32 n_rec otherwise spins the record loop
+    # for billions of empty iterations, and a truncated tail record would
+    # decode missing bytes into silently-wrong (''/None) attribute values
+    n_rec = min(n_rec, max(0, (len(buf) - header_len)) // rec_len)
     fields = []
     pos = 32
     while pos < len(buf) and buf[pos] != 0x0D:
@@ -209,7 +210,10 @@ def write_shapefile(
                 for name, ftype, flen, fdec in fields:
                     v = rec.attributes.get(name, 0 if ftype == "N" else "")
                     if ftype == "N":
-                        if fdec:
+                        if v is None:
+                            s = ""  # empty numeric cell: all-spaces, the
+                            # form _read_dbf round-trips back to None
+                        elif fdec:
                             s = f"{float(v):.{fdec}f}"
                         else:
                             s = str(int(v))

@@ -20,6 +20,7 @@ changing this API (``srbh_tpu/native``).
 """
 from __future__ import annotations
 
+import mmap
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -180,8 +181,19 @@ class TiffReader:
         self._cache: dict = {}
         self._cache_bytes = 0
         self._max_cache_bytes = max_cache_bytes
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        # mmap instead of slurping: GridImageDataset/VirtualMosaic keep many
+        # city-scale mosaics open at once but touch only small windows; a
+        # memory map keeps residency at the touched pages while preserving
+        # the bytes-slicing API (slices copy, so downstream np.frombuffer
+        # and struct.unpack are unaffected).
+        self._file = open(path, "rb")
+        try:
+            self._buf = mmap.mmap(self._file.fileno(), 0,
+                                  access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length or unmappable file
+            self._buf = self._file.read()
+            self._file.close()
+            self._file = None
         b = self._buf
         if b[:2] == b"II":
             self._e = "<"
@@ -202,6 +214,23 @@ class TiffReader:
         except Exception as e:  # uniform error surface for corrupt headers
             raise ValueError(f"{path}: corrupt TIFF header: "
                              f"{type(e).__name__}: {e}") from e
+
+    def close(self) -> None:
+        """Release the memory map / file handle (idempotent)."""
+        buf, self._buf = self._buf, b""
+        if isinstance(buf, mmap.mmap):
+            buf.close()
+        f, self._file = getattr(self, "_file", None), None
+        if f is not None:
+            f.close()
+        self._cache.clear()
+        self._cache_bytes = 0
+
+    def __del__(self):  # pragma: no cover - best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _read_ifd(self, off: int) -> Dict[int, tuple]:
         e, b = self._e, self._buf
@@ -391,9 +420,13 @@ class TiffReader:
         if self.tiled:
             tiles_x = (self.width + self.tile_w - 1) // self.tile_w
             tiles_y = (self.height + self.tile_l - 1) // self.tile_l
+            # clamp to the tile grid: windows crossing the right/bottom edge
+            # zero-fill (same contract as the strip path below)
+            last_ty = min((yoff + ys - 1) // self.tile_l, tiles_y - 1)
+            last_tx = min((xoff + xs - 1) // self.tile_w, tiles_x - 1)
             for p in range(planes):
-                for ty in range(yoff // self.tile_l, (yoff + ys - 1) // self.tile_l + 1):
-                    for tx in range(xoff // self.tile_w, (xoff + xs - 1) // self.tile_w + 1):
+                for ty in range(yoff // self.tile_l, last_ty + 1):
+                    for tx in range(xoff // self.tile_w, last_tx + 1):
                         idx = p * tiles_x * tiles_y + ty * tiles_x + tx
                         tile = self._decode_chunk(idx, (self.tile_l, self.tile_w, chans))
                         y0 = max(ty * self.tile_l, yoff)

@@ -181,25 +181,46 @@ def mosaic_rasters(tif_paths: Sequence[str], out_tif: str,
     return canvas
 
 
+def compare_array_sums(a: np.ndarray, b: np.ndarray,
+                       threshold: float = 0.0) -> dict:
+    """Raw mask/diff sums for a height-product pair: ``b`` is regridded to
+    ``a``'s grid (nearest) when shapes differ; metrics run over the union of
+    the >threshold masks. Shared by :func:`compare_rasters` and
+    ``tools.products.compare_height_products`` (the sums, unlike the derived
+    metrics, aggregate additively across cities)."""
+    if a.shape != b.shape:
+        b = cv2.resize(b, (a.shape[1], a.shape[0]),
+                       interpolation=cv2.INTER_NEAREST)
+    ma, mb = a > threshold, b > threshold
+    both = ma | mb
+    diff = (a - b)[both]
+    return {"inter": int((ma & mb).sum()), "union": int(both.sum()),
+            "sq": float((diff ** 2).sum()), "abs": float(np.abs(diff).sum()),
+            "me_sum": float(diff.sum()), "count": int(diff.size)}
+
+
+def compare_metrics_from_sums(s: dict, ndigits: Optional[int] = None) -> dict:
+    """Derive iou/rmse/mae/me/count from :func:`compare_array_sums` output."""
+    n = s["count"]
+    out = {
+        "iou": s["inter"] / s["union"] if s["union"] else 0.0,
+        "rmse": float(np.sqrt(s["sq"] / n)) if n else 0.0,
+        "mae": s["abs"] / n if n else 0.0,
+        "me": s["me_sum"] / n if n else 0.0,
+        "count": n,
+    }
+    if ndigits is not None:
+        out = {k: (round(v, ndigits) if k != "count" else v)
+               for k, v in out.items()}
+    return out
+
+
 def compare_rasters(a_tif: str, b_tif: str, threshold: float = 0.0) -> dict:
     """IoU of the >threshold masks + RMSE/MAE/ME over their union
     (demo_preprocess_…py height-product comparison)."""
     a = TiffReader(a_tif).read()[..., 0].astype(np.float64)
     b = TiffReader(b_tif).read()[..., 0].astype(np.float64)
-    if a.shape != b.shape:
-        b = cv2.resize(b, (a.shape[1], a.shape[0]),
-                       interpolation=cv2.INTER_NEAREST)
-    ma, mb = a > threshold, b > threshold
-    inter, union = (ma & mb).sum(), (ma | mb).sum()
-    both = ma | mb
-    diff = (a - b)[both]
-    return {
-        "iou": float(inter / union) if union else 0.0,
-        "rmse": float(np.sqrt((diff**2).mean())) if diff.size else 0.0,
-        "mae": float(np.abs(diff).mean()) if diff.size else 0.0,
-        "me": float(diff.mean()) if diff.size else 0.0,
-        "count": int(both.sum()),
-    }
+    return compare_metrics_from_sums(compare_array_sums(a, b, threshold))
 
 
 def floor_field_to_height(values: np.ndarray, m_per_floor: float = 3.0,

@@ -98,14 +98,22 @@ class VirtualMosaic:
             x0, x1 = int(px[okx].min()), int(px[okx].max())
             y0, y1 = int(py[oky].min()), int(py[oky].max())
             tile = r.read((x0, y0, x1 - x0 + 1, y1 - y0 + 1))[..., self.band]
-            sub = tile[np.ix_(py[oky] - y0, px[okx] - x0)]
-            out[np.ix_(oky, okx)] = sub.astype(dtype)
+            sub = tile[np.ix_(py[oky] - y0, px[okx] - x0)].astype(dtype)
+            # nodata transparency (gdal.BuildVRT srcNodata=VRTNodata
+            # semantics, demo_preprocess_height_v2.py:586-607): a later
+            # raster's valid pixels win, but its nodata collar must not
+            # punch holes into earlier rasters' data.
+            dst = out[np.ix_(oky, okx)]
+            valid = sub != self.nodata
+            dst[valid] = sub[valid]
+            out[np.ix_(oky, okx)] = dst
         return out
 
     def sample(self, xs: np.ndarray, ys: np.ndarray,
                dtype=np.float64) -> np.ndarray:
         """Nearest-pixel values at scattered map coordinates (the warp
-        primitive). Later rasters win on overlap, like :meth:`read_window`."""
+        primitive). Later rasters' *valid* pixels win on overlap; nodata is
+        transparent, like :meth:`read_window`."""
         xs = np.asarray(xs, float)
         ys = np.asarray(ys, float)
         out = np.full(xs.shape, self.nodata, dtype)
@@ -119,7 +127,11 @@ class VirtualMosaic:
             x0, x1 = int(px[ok].min()), int(px[ok].max())
             y0, y1 = int(py[ok].min()), int(py[ok].max())
             tile = r.read((x0, y0, x1 - x0 + 1, y1 - y0 + 1))[..., self.band]
-            out[ok] = tile[py[ok] - y0, px[ok] - x0].astype(dtype)
+            vals = tile[py[ok] - y0, px[ok] - x0].astype(dtype)
+            cur = out[ok]
+            valid = vals != self.nodata
+            cur[valid] = vals[valid]
+            out[ok] = cur
         return out
 
 
@@ -344,41 +356,20 @@ def compare_height_products(city_pairs: Dict[str, Tuple[str, str]],
     (raster_a, raster_b); rasters are regridded to ``raster_a``'s grid
     (nearest) when shapes differ.
     """
+    from srbh_tpu.tools.preprocess import (compare_array_sums,
+                                           compare_metrics_from_sums)
+
     rows = []
-    all_sq, all_abs, all_me, all_n = 0.0, 0.0, 0.0, 0
-    all_inter = all_union = 0
+    totals = {"inter": 0, "union": 0, "sq": 0.0, "abs": 0.0,
+              "me_sum": 0.0, "count": 0}
     for city, (a_tif, b_tif) in city_pairs.items():
         a = TiffReader(a_tif).read()[..., 0].astype(np.float64)
         b = TiffReader(b_tif).read()[..., 0].astype(np.float64)
-        if a.shape != b.shape:
-            b = cv2.resize(b, (a.shape[1], a.shape[0]),
-                           interpolation=cv2.INTER_NEAREST)
-        ma, mb = a > threshold, b > threshold
-        inter, union = int((ma & mb).sum()), int((ma | mb).sum())
-        diff = (a - b)[ma | mb]
-        n = diff.size
-        rows.append({
-            "city": city,
-            "iou": round(inter / union, 6) if union else 0.0,
-            "rmse": round(float(np.sqrt((diff ** 2).mean())), 6) if n else 0.0,
-            "mae": round(float(np.abs(diff).mean()), 6) if n else 0.0,
-            "me": round(float(diff.mean()), 6) if n else 0.0,
-            "count": n,
-        })
-        all_sq += float((diff ** 2).sum())
-        all_abs += float(np.abs(diff).sum())
-        all_me += float(diff.sum())
-        all_n += n
-        all_inter += inter
-        all_union += union
-    rows.append({
-        "city": "all",
-        "iou": round(all_inter / all_union, 6) if all_union else 0.0,
-        "rmse": round(float(np.sqrt(all_sq / all_n)), 6) if all_n else 0.0,
-        "mae": round(all_abs / all_n, 6) if all_n else 0.0,
-        "me": round(all_me / all_n, 6) if all_n else 0.0,
-        "count": all_n,
-    })
+        s = compare_array_sums(a, b, threshold)
+        rows.append({"city": city, **compare_metrics_from_sums(s, ndigits=6)})
+        for k in totals:
+            totals[k] += s[k]
+    rows.append({"city": "all", **compare_metrics_from_sums(totals, ndigits=6)})
     with open(out_csv, "w", newline="") as fh:
         w = csv.DictWriter(fh, fieldnames=["city", "iou", "rmse", "mae",
                                            "me", "count"])

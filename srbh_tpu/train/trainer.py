@@ -227,7 +227,8 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
             writer.add_scalar("train/rmse", rmses.avg, epoch)
             writer.add_scalar("val/loss", val_losses.avg, epoch)
             writer.add_scalar("val/rmse", val_rmses.avg, epoch)
-            for k in range(3):
+            # 3 log_vars with isaggre, 2 without (train.py:214-222 logs w1-3)
+            for k in range(int(np.asarray(log_vars).shape[0])):
                 writer.add_scalar(f"lossweight/w{k + 1}", float(log_vars[k]), epoch)
     wait_for_saves()  # join any in-flight async checkpoint commit
     if writer is not None:

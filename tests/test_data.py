@@ -157,8 +157,12 @@ class TestDataset:
             img[..., 6:] = (img[..., 6:] - ds.s1_off) / ds.s1_scale
             img = img[::4, ::4, :].clip(0, 1)
             # replay the same stream through the dataset's fused path
-            ds._rng = np.random.default_rng(11)
-            ds._rng.bit_generator.state = state0
+            # (inject via the per-sample RNG hook: the dataset derives a
+            # fresh (seed, epoch, index) generator per call, so hand it the
+            # literal recipe's stream state instead)
+            replay = np.random.default_rng(11)
+            replay.bit_generator.state = state0
+            ds._sample_rng = lambda index: replay
             s = ds[idx]
             np.testing.assert_array_equal(s["image"], img)
             np.testing.assert_array_equal(s["height"], height.astype(np.float32))

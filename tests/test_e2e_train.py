@@ -72,6 +72,19 @@ class TestTrainDriver:
         state = trainer.main(cfg, writer=None)
         assert int(state.step) == 3 * 2  # 2 old + 1 new epoch
 
+    def test_noaggre_epoch_with_tb_writer(self, workdir, tmp_path):
+        """isaggre=False trains with the auto-created TB writer: the
+        lossweight scalar loop must follow the actual log_vars count
+        (2 without aggre) instead of assuming 3 (regression: IndexError
+        at the end of epoch 1)."""
+        pytest.importorskip("tensorboardX")
+        cfg = make_cfg(workdir)
+        cfg.logdir = str(tmp_path / "noaggre_logs")
+        cfg.isaggre = False
+        cfg.maxepoch = 1
+        state = trainer.main(cfg)  # writer=None -> auto SummaryWriter
+        assert int(state.step) == 2
+
     def test_data_parallel_epoch(self, workdir, tmp_path):
         """One DP epoch over the 8-device mesh through the full driver."""
         cfg = make_cfg(workdir)
