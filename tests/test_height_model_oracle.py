@@ -270,3 +270,252 @@ class TestHeightModelFullOracle:
         np.testing.assert_allclose(np.asarray(height), want[0], atol=5e-4)
         np.testing.assert_allclose(np.asarray(build), want[1], atol=5e-4)
         np.testing.assert_allclose(np.asarray(aggre), want[2], atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# Variant compositions: geo / refine / nosuper (mymodels.py:341-650)
+# ---------------------------------------------------------------------------
+
+def _convert_decoder(sd, dname):
+    from srbh_tpu.train.convert import _bn, _conv
+
+    dp, ds = {}, {}
+    for bi in range(5):
+        blk_p, blk_s = {}, {}
+        for ci in (1, 2):
+            cname = f"conv{ci}"
+            blk_p[cname] = {"conv": _conv(sd, f"{dname}.blocks.{bi}.{cname}.0")}
+            bp, bs = _bn(sd, f"{dname}.blocks.{bi}.{cname}.1")
+            blk_p[cname]["bn"] = bp
+            blk_s[cname] = {"bn": bs}
+        dp[f"block{bi}"], ds[f"block{bi}"] = blk_p, blk_s
+    return dp, ds
+
+
+class _TorchHRUpsample(tnn.Module):
+    """HRupsample head (SR/HRfuse.py:193-202): x4 pixel-shuffle + 3x3."""
+
+    def __init__(self, n_feats, out_ch):
+        super().__init__()
+        self.upsampler = tnn.Sequential(
+            tnn.Conv2d(n_feats, 4 * n_feats, 3, padding=1), tnn.PixelShuffle(2),
+            tnn.Conv2d(n_feats, 4 * n_feats, 3, padding=1), tnn.PixelShuffle(2))
+        self.conv_last = tnn.Conv2d(n_feats, out_ch, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv_last(self.upsampler(x))
+
+
+class TestVariantCompositionOracles:
+    """Numeric composition pins for the ablation/prior/refine variants.
+    Param trees are hand-assembled from the torch state dicts (the shipped
+    converter targets the flagship only; the reference never trained the
+    variants to checkpoints)."""
+
+    def _encoder_and_decoders(self, sd, enc):
+        params, stats = {}, {}
+        params["encoder"], stats["encoder"] = convert._convert_encoder(
+            sd, "encoder.", enc)
+        for dname in ("decoder1", "decoder2"):
+            params[dname], stats[dname] = _convert_decoder(sd, dname)
+        return params, stats
+
+    def test_geo_variant_matches_torch(self):
+        from srbh_tpu.models import SRRegressClsFeatureGeo
+        from srbh_tpu.train.convert import _conv, convert_basic_block, \
+            convert_hrfuse_residual
+
+        torch.manual_seed(9)
+        enc, dec_ch, gm, sm = "efficientnet-test", (32, 24, 16, 12, 8), 4, 8
+        mid = dec_ch[-1]
+
+        tm = tnn.Module()
+        tm.encoder = _TorchEncoder(enc, 8)
+        width, _, _ = SCALING[enc]
+        stages = [round_filters(c, width) for _, _, _, c, _ in _B0_STAGES]
+        enc_ch = [8, round_filters(32, width),
+                  stages[1], stages[2], stages[4], stages[6]]
+        tm.decoder1 = _TorchDecoder(enc_ch, dec_ch)
+        tm.decoder2 = _TorchDecoder(enc_ch, dec_ch)
+        tm.hrfeat = tnn.Sequential(_torch_basic_block(8, sm),
+                                   _torch_basic_block(sm, sm),
+                                   _torch_basic_block(sm, sm))
+        tm.geoprior = tnn.Sequential(_torch_basic_block(3, gm),
+                                     _torch_basic_block(gm, gm),
+                                     _torch_basic_block(gm, gm))
+        tm.reg = _TorchHRFuseResidual(mid + gm, sm, mid, 1)
+        tm.seg = _TorchHRFuseResidual(mid + gm, sm, mid, 7)
+        tm.aggre_height = tnn.Conv2d(mid + gm, 1, 3, padding=1)
+        tm.eval()
+
+        rng = np.random.default_rng(13)
+        x_np = rng.normal(size=(1, 32, 32, 11)).astype(np.float32)  # 8+3 geo
+        fea_np = rng.normal(size=(1, 128, 128, 8)).astype(np.float32)
+
+        with torch.no_grad():
+            xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+            ft = torch.from_numpy(fea_np.transpose(0, 3, 1, 2))
+            geo = xt[:, 8:]
+            for blk in tm.geoprior:
+                geo = _run_basic_block(blk, geo)
+            feats = tm.encoder(xt[:, :8])
+            hr = ft
+            for blk in tm.hrfeat:
+                hr = _run_basic_block(blk, hr)
+            hf = torch.cat([tm.decoder1(feats), geo], dim=1)
+            height = tm.reg(hf, hr)
+            bf = torch.cat([tm.decoder2(feats), geo], dim=1)
+            build = tm.seg(bf, hr)
+            aggre = tm.aggre_height(hf)
+        want = [t.numpy().transpose(0, 2, 3, 1) for t in (height, build, aggre)]
+
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params, stats = self._encoder_and_decoders(sd, enc)
+        hp, hs = {}, {}
+        for i in range(3):
+            hp[f"block{i}"], hs[f"block{i}"] = convert_basic_block(
+                sd, f"hrfeat.{i}")
+        params["hrfeat"], stats["hrfeat"] = hp, hs
+        gp, gs = {}, {}
+        for i in range(3):
+            gp[f"block{i}"], gs[f"block{i}"] = convert_basic_block(
+                sd, f"geoprior.{i}")
+        params["geoprior"], stats["geoprior"] = gp, gs
+        for head in ("reg", "seg"):
+            params[head], stats[head] = convert_hrfuse_residual(sd, head)
+        params["aggre_height"] = _conv(sd, "aggre_height")
+
+        m = SRRegressClsFeatureGeo(encoder_name=enc, in_chans=8, super_mid=sm,
+                                   geo_mid=gm, isaggre=True, chans_build=7,
+                                   decoder_channels=dec_ch)
+        h, b, a = jax.jit(lambda v, p, q: m.apply(v, p, q, train=False))(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x_np), jnp.asarray(fea_np))
+        np.testing.assert_allclose(np.asarray(h), want[0], atol=5e-4)
+        np.testing.assert_allclose(np.asarray(b), want[1], atol=5e-4)
+        np.testing.assert_allclose(np.asarray(a), want[2], atol=5e-4)
+
+    def test_refine_variant_matches_torch(self):
+        from srbh_tpu.models import SRRegressClsFeatureRefine
+        from srbh_tpu.train.convert import _conv, convert_basic_block, \
+            convert_hrfuse_residual
+
+        torch.manual_seed(10)
+        enc, dec_ch, sm = "efficientnet-test", (32, 24, 16, 12, 8), 8
+        mid = dec_ch[-1]
+
+        tm = tnn.Module()
+        tm.encoder = _TorchEncoder(enc, 8)
+        width, _, _ = SCALING[enc]
+        stages = [round_filters(c, width) for _, _, _, c, _ in _B0_STAGES]
+        enc_ch = [8, round_filters(32, width),
+                  stages[1], stages[2], stages[4], stages[6]]
+        tm.decoder1 = _TorchDecoder(enc_ch, dec_ch)
+        tm.decoder2 = _TorchDecoder(enc_ch, dec_ch)
+        tm.hrfeat = tnn.Sequential(_torch_basic_block(8, sm),
+                                   _torch_basic_block(sm, sm),
+                                   _torch_basic_block(sm, sm))
+        tm.reg = _TorchHRFuseResidual(mid, sm, mid, 1)
+        tm.seg = _TorchHRFuseResidual(mid, sm, mid, 7)
+        tm.refine = tnn.Module()
+        tm.refine.fuse = tnn.Sequential(_torch_basic_block(1 + 7 + sm, 8),
+                                        _torch_basic_block(8, 8),
+                                        _torch_basic_block(8, 8))
+        tm.refine.conv_last = tnn.Conv2d(8, 1, 3, padding=1)
+        tm.eval()
+
+        rng = np.random.default_rng(17)
+        x_np = rng.normal(size=(1, 32, 32, 8)).astype(np.float32)
+        fea_np = rng.normal(size=(1, 128, 128, 8)).astype(np.float32)
+
+        with torch.no_grad():
+            xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+            ft = torch.from_numpy(fea_np.transpose(0, 3, 1, 2))
+            feats = tm.encoder(xt)
+            hr = ft
+            for blk in tm.hrfeat:
+                hr = _run_basic_block(blk, hr)
+            hf = tm.decoder1(feats)
+            height = tm.reg(hf, hr)
+            build = tm.seg(tm.decoder2(feats), hr)
+            rf = torch.cat([torch.cat([height, build], dim=1), hr], dim=1)
+            for blk in tm.refine.fuse:
+                rf = _run_basic_block(blk, rf)
+            refined = tm.refine.conv_last(rf)
+        want = [t.numpy().transpose(0, 2, 3, 1)
+                for t in (height, build, refined)]
+
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params, stats = self._encoder_and_decoders(sd, enc)
+        hp, hs = {}, {}
+        for i in range(3):
+            hp[f"block{i}"], hs[f"block{i}"] = convert_basic_block(
+                sd, f"hrfeat.{i}")
+        params["hrfeat"], stats["hrfeat"] = hp, hs
+        for head in ("reg", "seg"):
+            params[head], stats[head] = convert_hrfuse_residual(sd, head)
+        rp, rs = {}, {}
+        for i in range(3):
+            rp[f"fuse{i}"], rs[f"fuse{i}"] = convert_basic_block(
+                sd, f"refine.fuse.{i}")
+        rp["conv_last"] = _conv(sd, "refine.conv_last")
+        params["refine"], stats["refine"] = rp, rs
+
+        m = SRRegressClsFeatureRefine(encoder_name=enc, super_mid=sm,
+                                      chans_build=7, decoder_channels=dec_ch)
+        h, b, r = jax.jit(lambda v, p, q: m.apply(v, p, q, train=False))(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x_np), jnp.asarray(fea_np))
+        np.testing.assert_allclose(np.asarray(h), want[0], atol=5e-4)
+        np.testing.assert_allclose(np.asarray(b), want[1], atol=5e-4)
+        np.testing.assert_allclose(np.asarray(r), want[2], atol=5e-4)
+
+    def test_nosuper_variant_matches_torch(self):
+        from srbh_tpu.models import SRRegressClsNosuper
+        from srbh_tpu.train.convert import _conv
+
+        torch.manual_seed(11)
+        enc, dec_ch = "efficientnet-test", (32, 24, 16, 12, 8)
+        mid = dec_ch[-1]
+
+        tm = tnn.Module()
+        tm.encoder = _TorchEncoder(enc, 8)
+        width, _, _ = SCALING[enc]
+        stages = [round_filters(c, width) for _, _, _, c, _ in _B0_STAGES]
+        enc_ch = [8, round_filters(32, width),
+                  stages[1], stages[2], stages[4], stages[6]]
+        tm.decoder1 = _TorchDecoder(enc_ch, dec_ch)
+        tm.decoder2 = _TorchDecoder(enc_ch, dec_ch)
+        tm.reg = _TorchHRUpsample(mid, 1)
+        tm.seg = _TorchHRUpsample(mid, 7)
+        tm.aggre_height = tnn.Conv2d(mid, 1, 3, padding=1)
+        tm.eval()
+
+        rng = np.random.default_rng(19)
+        x_np = rng.normal(size=(1, 32, 32, 8)).astype(np.float32)
+        with torch.no_grad():
+            xt = torch.from_numpy(x_np.transpose(0, 3, 1, 2))
+            feats = tm.encoder(xt)
+            hf = tm.decoder1(feats)
+            height = tm.reg(hf)
+            build = tm.seg(tm.decoder2(feats))
+            aggre = tm.aggre_height(hf)
+        want = [t.numpy().transpose(0, 2, 3, 1) for t in (height, build, aggre)]
+
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        params, stats = self._encoder_and_decoders(sd, enc)
+        for head in ("reg", "seg"):
+            params[head] = {
+                "upsampler": {"conv_0": _conv(sd, f"{head}.upsampler.0"),
+                              "conv_1": _conv(sd, f"{head}.upsampler.2")},
+                "conv_last": _conv(sd, f"{head}.conv_last"),
+            }
+        params["aggre_height"] = _conv(sd, "aggre_height")
+
+        m = SRRegressClsNosuper(encoder_name=enc, isaggre=True, chans_build=7,
+                                decoder_channels=dec_ch)
+        h, b, a = jax.jit(lambda v, p: m.apply(v, p, train=False))(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x_np))
+        np.testing.assert_allclose(np.asarray(h), want[0], atol=5e-4)
+        np.testing.assert_allclose(np.asarray(b), want[1], atol=5e-4)
+        np.testing.assert_allclose(np.asarray(a), want[2], atol=5e-4)
