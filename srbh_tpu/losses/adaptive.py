@@ -2,7 +2,8 @@
 
 Capability twins of losses_pytorch/selfloss.py. The reference keeps each
 task's learnable ``log_var`` inside the loss ``nn.Module`` and feeds them to
-the optimiser as a separate fixed-lr param group (train.py:178-179). Here the
+the optimiser as a separate param group (train.py:178-179; in practice that
+group trains exactly like the model — see train/state.py). Here the
 losses are pure functions and the ``log_vars`` vector lives in the train
 state (``srbh_tpu.train.state``), optimised via an optax ``multi_transform``
 label — same math, idiomatic JAX.

@@ -239,6 +239,10 @@ class PixelShuffleUpsampler(nn.Module):
     def __call__(self, x):
         scale = self.scale
         if (scale & (scale - 1)) == 0:
+            if scale == 1 and self.packed_output:
+                # zero octaves: the identity map, delivered in the promised
+                # parity-0 packed layout (a pure reshape)
+                return s2d.pack(x)
             last = int(math.log2(scale)) - 1
             for i in range(int(math.log2(scale))):
                 x = tconv(4 * self.n_feats, 3, use_bias=self.use_bias,

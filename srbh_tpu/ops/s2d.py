@@ -129,6 +129,15 @@ def conv3x3_packed(
     """
     dtype = dtype or xp.dtype
     ci4 = xp.shape[-1]
+    if kin_perm is not None and parity != 0:
+        # _halo_mask assumes the canonical (d, e, c) channel layout over the
+        # whole channel dim; a kin_perm input is a concat-of-packs layout,
+        # so the mask would zero valid rows and leak halo rows. No in-repo
+        # caller needs this combination — fail loudly instead of silently
+        # computing garbage.
+        raise NotImplementedError(
+            "conv3x3_packed: kin_perm with parity=1 is unsupported (the "
+            "halo mask assumes a canonical packed layout)")
     if parity == 0:
         xp = jnp.pad(xp, ((0, 0), (1, 1), (1, 1), (0, 0)))
     else:

@@ -62,7 +62,14 @@ def make_mesh(
     """Build a (data, model) mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        if len(devices) % n_model:
+            raise ValueError(
+                f"{len(devices)} devices do not divide over n_model="
+                f"{n_model}; pass n_data explicitly to use a device subset")
         n_data = len(devices) // n_model
+    if n_data * n_model > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} needs more than the "
+                         f"{len(devices)} available devices")
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 

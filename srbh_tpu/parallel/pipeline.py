@@ -108,6 +108,14 @@ def rrdb_pipeline_features(sr, variables, x, mesh: Mesh,
     from srbh_tpu.ops.shuffle import pixel_unshuffle
 
     params = variables["params"] if "params" in variables else variables
+    if getattr(sr, "quantize", False):
+        # the head/tail convs replay here as float _conv_p convs; routing
+        # them through the int8 path is not implemented, and silently
+        # diverging from sr.apply would break the bit-match contract below
+        raise NotImplementedError(
+            "rrdb_pipeline_features does not support RRDBNet(quantize=True): "
+            "head/tail convs run in float here and would not bit-match "
+            "sr.apply's int8 trunk")
     S = mesh.shape[axis]
     B = sr.num_block
     if B % S == 0:

@@ -86,6 +86,16 @@ def stitch_tiles(height_u16: jnp.ndarray, build_u16: jnp.ndarray,
                         pos.astype(jnp.int32), upscale)
 
 
+@functools.lru_cache(maxsize=8)
+def _accumulator_step_fn(upscale: int):
+    """Shared jitted scatter-add step for DeviceMosaicAccumulator; jit's
+    own cache then reuses compiles across same-shape cities."""
+    return jax.jit(
+        lambda hs, bs, wt, h, b, p: _scan_stitch(hs, bs, wt, h, b, p,
+                                                 upscale),
+        donate_argnums=(0, 1, 2))
+
+
 @functools.lru_cache(maxsize=32)
 def _sharded_stitch_fn(mesh, h: int, w: int, c: int, upscale: int):
     """Jitted shard_map program for one (mesh, canvas, classes) shape —
@@ -159,10 +169,9 @@ class DeviceMosaicAccumulator:
         self.hs = jnp.zeros((self.h, self.w), jnp.int32)
         self.bs = jnp.zeros((self.h, self.w, n_classes), jnp.int32)
         self.wt = jnp.zeros((self.h, self.w), jnp.int32)
-        self._step = jax.jit(
-            lambda hs, bs, wt, h, b, p: _scan_stitch(
-                hs, bs, wt, h, b, p, upscale),
-            donate_argnums=(0, 1, 2))
+        # module-level cache: per-instance lambdas would recompile the
+        # scatter-add program for every city even at repeated shapes
+        self._step = _accumulator_step_fn(upscale)
 
     def add_batch(self, height_u16, build_u16, pos):
         """Tiles (N, T, T[, C]); pos (N, 4) [xoff, yoff, xc, yc] source px.

@@ -7,9 +7,16 @@ Reproduces the reference's optimisation setup (train.py:170-179):
   (not AdamW's decoupled decay), so the optax chain is
   ``add_decayed_weights -> scale_by_adam -> scale(-lr)``.
 * a separate ``lossweight`` param group holding the three ``log_var``
-  scalars at a fixed lr 1e-3, exempt from both decay and the epoch schedule
-  — realised as an optax ``multi_transform`` partition over a combined
-  ``{"model": ..., "log_vars": ...}`` pytree.
+  scalars — realised as an optax ``multi_transform`` partition over a
+  combined ``{"model": ..., "log_vars": ...}`` pytree. The reference
+  *looks* like it pins this group at a fixed lr with no decay, but its
+  actual torch behaviour (verified by executing the optimizer path) is:
+  ``adjust_learning_rate``'s skip condition ``'lossweight' in param_group``
+  tests dict KEYS and never fires, so the group's lr IS overwritten by the
+  epoch schedule; and ``add_param_group`` inherits ``weight_decay=1e-4``
+  from the Adam defaults. Both groups therefore train identically in the
+  reference, and this state reproduces that: the scheduled lr is written to
+  BOTH groups each step and log_vars carry the same coupled L2.
 
 The per-epoch LR is fed as a scalar through ``optax.inject_hyperparams`` so
 the jitted step never recompiles on LR changes.
@@ -60,8 +67,12 @@ class TrainState(flax.struct.PyTreeNode):
         tx = optax.multi_transform(
             {
                 "model": torch_adam(lr, weight_decay),
-                # fixed-lr group, no weight decay (train.py:178-179)
-                "log_vars": torch_adam(log_var_lr, 0.0),
+                # lossweight group (train.py:178-179): starts at
+                # log_var_lr but — like the reference's group, whose
+                # schedule exemption never fires and which inherits
+                # weight_decay from the Adam defaults — it follows the
+                # epoch schedule and carries the same coupled L2
+                "log_vars": torch_adam(log_var_lr, weight_decay),
             },
             param_labels={"model": "model", "log_vars": "log_vars"},
         )
@@ -86,12 +97,15 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def set_learning_rate(opt_state, lr):
-    """Overwrite the injected model-group LR hyperparameter in-place."""
+    """Overwrite the injected LR hyperparameter of BOTH groups (the
+    reference's adjust_learning_rate writes every param group —
+    train.py:77-80; its lossweight skip condition never fires)."""
 
-    def update(s):
-        inner = s.inner_states["model"].inner_state
-        inner = inner._replace(hyperparams={**inner.hyperparams, "lr": jnp.asarray(lr, jnp.float32)})
-        model_masked = s.inner_states["model"]._replace(inner_state=inner)
-        return s._replace(inner_states={**s.inner_states, "model": model_masked})
+    def set_group(s, name):
+        inner = s.inner_states[name].inner_state
+        inner = inner._replace(hyperparams={
+            **inner.hyperparams, "lr": jnp.asarray(lr, jnp.float32)})
+        masked = s.inner_states[name]._replace(inner_state=inner)
+        return s._replace(inner_states={**s.inner_states, name: masked})
 
-    return update(opt_state)
+    return set_group(set_group(opt_state, "model"), "log_vars")
