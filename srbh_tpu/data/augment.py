@@ -115,23 +115,37 @@ def augment_pair_lowres(rng: np.random.Generator, img_lr: np.ndarray,
     return img_lr, mask
 
 
+_LUMA = np.asarray([0.2989, 0.587, 0.114], np.float32)  # ITU-R 601
+
+
 def color_jitter(rng: np.random.Generator, img01: np.ndarray,
                  brightness=0.5, contrast=0.5, saturation=0.5, hue=0.25,
                  p=0.8) -> np.ndarray:
-    """Strong augmentation on a [0,1] RGB image (BH_loader.py:24-28)."""
+    """Strong augmentation on a [0,1] RGB image (BH_loader.py:24-28).
+
+    torchvision/albumentations ColorJitter semantics: factors drawn from
+    [max(0, 1-x), 1+x] (hue from [-hue, hue]), the four adjustments applied
+    in a RANDOM order, contrast blending against the scalar mean of the
+    ITU-R 601 grayscale image, saturation blending against the per-pixel
+    grayscale, each result clamped to [0, 1]."""
     if rng.random() >= p:
         return img01
-    out = img01.astype(np.float32).copy()
-    b = 1.0 + float(rng.uniform(-brightness, brightness))
-    c = 1.0 + float(rng.uniform(-contrast, contrast))
-    s = 1.0 + float(rng.uniform(-saturation, saturation))
+    b = float(rng.uniform(max(0.0, 1.0 - brightness), 1.0 + brightness))
+    c = float(rng.uniform(max(0.0, 1.0 - contrast), 1.0 + contrast))
+    s = float(rng.uniform(max(0.0, 1.0 - saturation), 1.0 + saturation))
     hshift = float(rng.uniform(-hue, hue))
-    out = out * b
-    mean = out.mean(axis=(0, 1), keepdims=True)
-    out = (out - mean) * c + mean
-    gray = out.mean(axis=-1, keepdims=True)
-    out = (out - gray) * s + gray
-    hsv = cv2.cvtColor(np.clip(out, 0, 1), cv2.COLOR_RGB2HSV)
-    hsv[..., 0] = (hsv[..., 0] + hshift * 360.0) % 360.0
-    out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
-    return np.clip(out, 0.0, 1.0)
+    out = img01.astype(np.float32).copy()
+    for op in rng.permutation(4):
+        if op == 0:
+            out = np.clip(out * b, 0.0, 1.0)
+        elif op == 1:
+            mean = float((out @ _LUMA).mean())
+            out = np.clip(c * out + (1.0 - c) * mean, 0.0, 1.0)
+        elif op == 2:
+            gray = (out @ _LUMA)[..., None]
+            out = np.clip(s * out + (1.0 - s) * gray, 0.0, 1.0)
+        else:
+            hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)
+            hsv[..., 0] = (hsv[..., 0] + hshift * 360.0) % 360.0
+            out = np.clip(cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB), 0.0, 1.0)
+    return out

@@ -15,12 +15,21 @@ from srbh_tpu.metrics.streaming import (
     height_update,
 )
 from srbh_tpu.metrics.writers import acc2file_height, acc2file_rmse, acc2file_seg
-from srbh_tpu.metrics.learned import (
-    calculate_clipscore,
-    calculate_clipscore_pt,
-    calculate_lpips,
-    calculate_lpips_pt,
-)
+
+_LEARNED = ("calculate_clipscore", "calculate_clipscore_pt",
+            "calculate_lpips", "calculate_lpips_pt")
+
+
+def __getattr__(name):
+    # the learned metrics pull in the full CLIP/LPIPS Flax towers; import
+    # them only when actually used so `import srbh_tpu.metrics` for
+    # PSNR/SSIM stays light (the documented optional gating)
+    if name in _LEARNED:
+        from srbh_tpu.metrics import learned
+
+        return getattr(learned, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 __all__ = [
     "bgr2ycbcr", "calculate_cpsnr", "calculate_psnr", "calculate_psnrb",

@@ -78,6 +78,17 @@ def _require(variables, what: str, converter: str):
             "here; PSNR/SSIM/cPSNR/PSNR-B need no weights).")
 
 
+def _nearest_torch(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """torch ``F.interpolate(mode='nearest')`` convention on NHWC: source
+    index = floor(dst * in / out). Differs from jax.image.resize's
+    half-pixel-centre nearest (e.g. 3->4: torch picks [0,0,1,2], jax
+    [0,1,1,2]) — the reference resizes with the torch rule
+    (SR/psnr_ssim.py:515-517)."""
+    iy = (np.arange(size) * x.shape[1] // size).astype(np.int32)
+    ix = (np.arange(size) * x.shape[2] // size).astype(np.int32)
+    return x[:, iy][:, :, ix]
+
+
 def _prep(img, size: Optional[int] = None, dtype=jnp.float32):
     """HWC [0,255] -> (1,S,S,C) float [0,1]; if ``size`` is given,
     nearest-resize (the reference's F.interpolate default,
@@ -89,7 +100,7 @@ def _prep(img, size: Optional[int] = None, dtype=jnp.float32):
         x = jnp.repeat(x, 3, axis=-1)
     x = x[None]
     if size is not None and (x.shape[1] != size or x.shape[2] != size):
-        x = jax.image.resize(x, (1, size, size, x.shape[-1]), method="nearest")
+        x = _nearest_torch(x, size)
     return x
 
 
@@ -129,8 +140,7 @@ def calculate_clipscore_pt(imgs, imgs2, variables=None,
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)
         if x.shape[1] != size or x.shape[2] != size:
-            x = jax.image.resize(x, (x.shape[0], size, size, x.shape[-1]),
-                                 method="nearest")
+            x = _nearest_torch(x, size)
         return x
 
     f1 = model.apply(variables, prep(imgs))

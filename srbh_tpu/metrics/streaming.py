@@ -208,6 +208,12 @@ def accprint_seg(metric: SegmentationMetric):
     for row in cm:
         print(" ".join(f"{v:.3f}" for v in row))
     print(f"numtotal: {int(cm.sum())}")
+    # trailing class-1 (building) summary block (metrics.py:328-333)
+    print(f"{metric.overall_accuracy():.3f}")
+    print(f"{metric.iou()[1]:.3f}")
+    print(f"{metric.f1()[1]:.3f}")
+    print(f"{metric.precision()[1]:.3f}")
+    print(f"{metric.recall()[1]:.3f}")
 
 
 class AverageMeter:

@@ -22,7 +22,6 @@ Loading (three lines, anywhere)::
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -25,6 +25,20 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+def commit_payload(path: str, payload: dict) -> None:
+    """Crash-safe orbax dir save: write to ``<path>.tmp`` then
+    ``os.replace`` — an interrupted save never destroys the only live
+    resume state. Shared by the trainer and SR-GAN checkpoint writers."""
+    path = os.path.abspath(path)
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    _ckptr().save(tmp, payload)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
 _pending_save = None  # most recent async save (serialises successive saves)
 
 
@@ -67,15 +81,7 @@ def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
     path = os.path.abspath(os.path.join(logdir, "checkpoint"))
 
     def _commit():
-        # crash-safe replace: write to a temp dir first so an interrupted
-        # save never destroys the only live resume state
-        tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        _ckptr().save(tmp, payload)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        commit_payload(path, payload)
         if snapshot_every and epoch % snapshot_every == 0:
             snap = os.path.abspath(os.path.join(logdir, f"checkpoint{epoch}"))
             if os.path.exists(snap):

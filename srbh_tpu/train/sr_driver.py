@@ -31,8 +31,7 @@ from srbh_tpu.train.sr_trainer import GANTrainState, RealESRGANTrainer
 
 def save_sr_checkpoint(logdir: str, state: GANTrainState, epoch: int):
     """net_g (params + params_ema) and net_d payloads (orbax dirs)."""
-    import orbax.checkpoint as ocp
-    import shutil
+    from srbh_tpu.train.checkpoint import commit_payload
 
     for name, payload in (
         ("net_g", {"params": jax.device_get(state.g_params),
@@ -41,14 +40,7 @@ def save_sr_checkpoint(logdir: str, state: GANTrainState, epoch: int):
         ("net_d", {"params": jax.device_get(state.d_vars["params"]),
                    "epoch": epoch, "current_iter": int(state.step)}),
     ):
-        path = os.path.abspath(os.path.join(logdir, name))
-        tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        ocp.PyTreeCheckpointer().save(tmp, payload)
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)  # crash-safe replace
+        commit_payload(os.path.join(logdir, name), payload)
     return os.path.join(logdir, "net_g")
 
 

@@ -33,24 +33,11 @@ def multi_scale_cam(cam_fn: Callable[[np.ndarray], np.ndarray],
 
     ``cam_fn``: (N, H, W, C) image -> (N, h, w, K) raw class maps.
     Returns (N, H, W, K) normalised CAMs at the input resolution.
+    Reference recipe (camutils.py:4-25): per scale, run [image; hflip],
+    bilinear the raw maps back to input size, max-fuse the flip pair,
+    relu, sum over scales, then min-shift/max-divide normalisation.
     """
-    n, h, w = image.shape[:3]
-    total = None
-    for s in scales:
-        hs, ws = max(1, int(h * s)), max(1, int(w * s))
-        imgs = np.stack([cv2.resize(im, (ws, hs)) for im in image])
-        if imgs.ndim == 3:
-            imgs = imgs[..., None]
-        both = np.concatenate([imgs, imgs[:, :, ::-1]], axis=0)
-        cams = np.asarray(cam_fn(both))
-        cams = np.maximum(cams, 0)
-        fwd, flip = cams[:n], cams[n:, :, ::-1]
-        cam = fwd + flip
-        cam = np.stack([cv2.resize(c, (w, h)) for c in cam])
-        if cam.ndim == 3:
-            cam = cam[..., None]
-        total = cam if total is None else total + cam
-    return _normalise(total / len(scales))
+    return _norm_ref(_multi_scale_sum(cam_fn, image, scales))
 
 
 def _resize_batch(images: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -85,8 +72,9 @@ def _multi_scale_sum(cam_fn, image, scales, include_unit_first=False,
         both = np.concatenate([imgs, imgs[:, :, ::-1]], axis=0)
         out = cam_fn(both)
         cams = np.asarray(out[stage] if stage is not None else out)
-        cam = _flip_max(cams, n)
-        cam = _resize_batch(cam, h, w)
+        # reference order (camutils.py:16-17): bilinear to input size
+        # FIRST, then max-fuse the flip pair (max and resize don't commute)
+        cam = _flip_max(_resize_batch(cams, h, w), n)
         if relu:
             cam = np.maximum(cam, 0)
         total = cam if total is None else total + cam
@@ -118,7 +106,7 @@ def multi_scale_cam_multistage(cam_fn, image, scales=(0.5, 1.5)) -> np.ndarray:
         imgs = image if s == 1.0 else _resize_batch(image, int(h * s), int(w * s))
         both = np.concatenate([imgs, imgs[:, :, ::-1]], axis=0)
         for cams in cam_fn(both):
-            cam = np.maximum(_resize_batch(_flip_max(np.asarray(cams), n), h, w), 0)
+            cam = np.maximum(_flip_max(_resize_batch(np.asarray(cams), h, w), n), 0)
             total = cam if total is None else total + cam
     return _norm_ref(total)
 
@@ -134,7 +122,7 @@ def multi_scale_cam_multistage_v2(cam_fn, image, scales=(1.0, 0.5, 1.5),
         both = np.concatenate([imgs, imgs[:, :, ::-1]], axis=0)
         cam_all = cam_fn(both)
         for i, cams in enumerate(cam_all):
-            cam = np.maximum(_resize_batch(_flip_max(np.asarray(cams), n), h, w), 0)
+            cam = np.maximum(_flip_max(_resize_batch(np.asarray(cams), h, w), n), 0)
             if i >= len(stage_totals):
                 stage_totals.append(cam)
             else:
