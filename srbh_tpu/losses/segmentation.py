@@ -265,6 +265,16 @@ def dist_penalized_ce(logits, labels, dist_map):
     return ((1.0 + dist_map) * ce).mean()
 
 
+def nll_loss(log_probs, labels):
+    """nll_loss (ND_Crossentropy.py:211-220): mean negative picked log-prob.
+
+    ``log_probs``: (N, C) already-log-softmaxed scores; ``labels``: (N,) ints.
+    """
+    picked = jnp.take_along_axis(
+        log_probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    return -picked.mean()
+
+
 def boundary_loss(logits, dist_map):
     """BDLoss (boundary_loss.py:82-109): mean of softmax-probability times
     the signed distance map of the non-background classes.

@@ -71,6 +71,17 @@ class TestDiceFamily:
             torch.from_numpy(np.array(labels)).long()))
         assert f == pytest.approx(ce, abs=1e-5)
 
+    def test_nll_loss_matches_torch(self):
+        # nll_loss (ND_Crossentropy.py:211-220): mean of -log_probs picked
+        # at the label indices.
+        rng = np.random.default_rng(7)
+        logp = np.log(rng.dirichlet(np.ones(5), size=16)).astype(np.float32)
+        labels = rng.integers(0, 5, size=16)
+        want = float(torch.nn.functional.nll_loss(
+            torch.from_numpy(logp), torch.from_numpy(labels).long()))
+        got = float(seg.nll_loss(jnp.asarray(logp), jnp.asarray(labels)))
+        assert got == pytest.approx(want, abs=1e-6)
+
     def test_topk_matches_torch_topk(self):
         logits, labels = rand_batch(3)
         lt = torch.from_numpy(np.array(logits)).permute(0, 3, 1, 2)
