@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from srbh_tpu.models.layers import Dtype, tconv
+from srbh_tpu.models.layers import Dtype, TorchBatchNorm, tconv
 
 
 def _bilinear_x2(x):
@@ -79,8 +79,8 @@ class VGGStyleDiscriminator(nn.Module):
         nf = self.num_feat
 
         def bn(name):
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                dtype=self.dtype, name=name)
+            return TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                                  dtype=self.dtype, name=name)
 
         def down(v, feats, i):
             v = tconv(feats, 3, 1, use_bias=False, dtype=self.dtype,

@@ -25,6 +25,8 @@ from typing import Any, List, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from srbh_tpu.models.layers import TorchBatchNorm
+
 Dtype = Any
 
 # (expand_ratio, kernel, stride, base_channels, base_repeats) per stage (B0)
@@ -66,8 +68,8 @@ def round_repeats(repeats: int, depth: float) -> int:
 
 
 def _bn(train, dtype, name):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                        epsilon=1e-3, dtype=dtype, name=name)
+    return TorchBatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, dtype=dtype, name=name)
 
 
 def _conv_same(features, kernel, stride, groups=1, name=None, dtype=jnp.float32):

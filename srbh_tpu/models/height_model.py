@@ -54,11 +54,14 @@ class SRRegressClsFeature(nn.Module):
     chans_build: int = 2
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     compute_mode: str = "literal"  # or "packed" (eval-only fast path)
+    drop_connect_rate: float = 0.2  # smp/efficientnet-pytorch default
     dtype: Dtype = jnp.float32
 
     def setup(self):
         packed = self.compute_mode == "packed"
-        self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)
+        self.encoder = EfficientNetEncoder(
+            self.encoder_name, drop_connect_rate=self.drop_connect_rate,
+            dtype=self.dtype)
         self.decoder1 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.decoder2 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.hrfeat = HRFeature(self.super_mid, self.super_mid,
@@ -104,10 +107,13 @@ class SRRegressClsNosuper(nn.Module):
     isaggre: bool = False
     chans_build: int = 2
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    drop_connect_rate: float = 0.2  # smp/efficientnet-pytorch default
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)
+        self.encoder = EfficientNetEncoder(
+            self.encoder_name, drop_connect_rate=self.drop_connect_rate,
+            dtype=self.dtype)
         self.decoder1 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.decoder2 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.reg = HRUpsample(1, self.upscale, dtype=self.dtype)
@@ -139,10 +145,13 @@ class SRRegressClsFeatureGeo(nn.Module):
     isaggre: bool = False
     chans_build: int = 2
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    drop_connect_rate: float = 0.2  # smp/efficientnet-pytorch default
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)
+        self.encoder = EfficientNetEncoder(
+            self.encoder_name, drop_connect_rate=self.drop_connect_rate,
+            dtype=self.dtype)
         self.decoder1 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.decoder2 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.hrfeat = HRFeature(self.super_mid, self.super_mid, dtype=self.dtype)
@@ -181,10 +190,13 @@ class SRRegressClsFeatureRefine(nn.Module):
     isaggre: bool = False
     chans_build: int = 2
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
+    drop_connect_rate: float = 0.2  # smp/efficientnet-pytorch default
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.encoder = EfficientNetEncoder(self.encoder_name, dtype=self.dtype)
+        self.encoder = EfficientNetEncoder(
+            self.encoder_name, drop_connect_rate=self.drop_connect_rate,
+            dtype=self.dtype)
         self.decoder1 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.decoder2 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.hrfeat = HRFeature(self.super_mid, self.super_mid, dtype=self.dtype)

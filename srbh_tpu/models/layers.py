@@ -69,6 +69,60 @@ def leaky_relu(x, negative_slope: float = 0.2):
     return nn.leaky_relu(x, negative_slope=negative_slope)
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch-exact running-statistics semantics.
+
+    Forward values match ``nn.BatchNorm`` (normalisation uses the *biased*
+    batch variance in both frameworks), but the running average differs:
+    ``torch.nn.BatchNorm2d`` stores the Bessel-corrected (*unbiased*,
+    factor n/(n-1)) batch variance while flax stores the biased one, so
+    ``batch_stats`` saved by flax drift from a torch training run by
+    (n-1)/n per update.  This module applies the correction, making
+    train-mode statistics — and therefore checkpoints exported back to the
+    reference's .tar layout — bit-comparable with torch
+    (train.py:138-140 BN handling; pinned by tests/test_train_step_oracle.py).
+
+    Collection layout is identical to ``nn.BatchNorm`` (params scale/bias,
+    batch_stats mean/var), so converters and existing checkpoints are
+    unaffected.  Statistics are computed in float32 regardless of compute
+    dtype, like flax.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9  # flax convention: torch momentum 0.1 -> 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf - mean), axes)
+            if not self.is_initializing():
+                n = 1
+                for a in axes:
+                    n *= x.shape[a]
+                bessel = n / max(n - 1, 1)
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1.0 - m) * mean
+                ra_var.value = m * ra_var.value + (1.0 - m) * (var * bessel)
+        y = x - mean  # promotes to float32
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = y * mul + bias
+        return jnp.asarray(y, self.dtype)
+
+
 class ConvBNAct(nn.Module):
     """Conv -> BatchNorm -> activation, the standard fused TPU pattern."""
 
@@ -87,7 +141,7 @@ class ConvBNAct(nn.Module):
             self.features, self.kernel_size, self.stride,
             use_bias=self.use_bias, dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,
             epsilon=self.bn_epsilon,
@@ -185,18 +239,19 @@ class BasicBlock(nn.Module):
         identity = x
         out = tconv(self.planes, 3, self.stride, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=self.dtype, name="bn1")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = tconv(self.planes, 3, 1, use_bias=False,
                     dtype=self.dtype, name="conv2")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=self.dtype, name="bn2")(out)
+        out = TorchBatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="bn2")(out)
         if needs_proj:
             identity = tconv(self.planes, 1, self.stride, use_bias=False,
                              dtype=self.dtype, name="down_conv")(x)
-            identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=self.dtype, name="down_bn")(identity)
+            identity = TorchBatchNorm(use_running_average=not train,
+                                      momentum=0.9, dtype=self.dtype,
+                                      name="down_bn")(identity)
         return nn.relu(out + identity)
 
     def _packed_call(self, xp):
