@@ -79,8 +79,10 @@ class TorchBatchNorm(nn.Module):
     ``batch_stats`` saved by flax drift from a torch training run by
     (n-1)/n per update.  This module applies the correction, making
     train-mode statistics — and therefore checkpoints exported back to the
-    reference's .tar layout — bit-comparable with torch
-    (train.py:138-140 BN handling; pinned by tests/test_train_step_oracle.py).
+    reference's .tar layout — bit-comparable with the torch
+    ``nn.BatchNorm2d`` layers used throughout the reference's models
+    (e.g. SR/HRfuse.py:115-159, smp decoder blocks per mymodels.py:244-258);
+    pinned by tests/test_train_step_oracle.py.
 
     Collection layout is identical to ``nn.BatchNorm`` (params scale/bias,
     batch_stats mean/var), so converters and existing checkpoints are
@@ -107,8 +109,10 @@ class TorchBatchNorm(nn.Module):
         else:
             axes = tuple(range(x.ndim - 1))
             xf = x.astype(jnp.float32)
+            # one-pass (fast) variance like flax: a single fused reduction
+            # instead of a dependent second pass over the activation
             mean = jnp.mean(xf, axes)
-            var = jnp.mean(jnp.square(xf - mean), axes)
+            var = jnp.maximum(jnp.mean(xf * xf, axes) - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 n = 1
                 for a in axes:

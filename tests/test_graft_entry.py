@@ -43,3 +43,26 @@ def test_dryrun_multichip_self_bootstraps_without_xla_flags():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip(4): loss=" in proc.stdout
     assert "devices=4" in proc.stdout
+
+
+def test_dryrun_bootstraps_when_backend_unavailable(monkeypatch):
+    """If the pinned real backend cannot initialise (e.g. the TPU tunnel is
+    wedged), ``jax.devices()`` raises — the dry-run must fall through to the
+    virtual-mesh bootstrap instead of crashing (observed live: axon
+    UNAVAILABLE made the bare call exit rc=1)."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__
+
+        def boom():
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE")
+
+        calls = []
+        monkeypatch.setattr(__graft_entry__.jax, "devices", boom)
+        monkeypatch.setattr(__graft_entry__, "_bootstrap_virtual_mesh",
+                            lambda n: calls.append(n))
+        __graft_entry__.dryrun_multichip(8)
+        assert calls == [8]
+    finally:
+        sys.path.remove(REPO)

@@ -179,6 +179,12 @@ def _t_usm(img, weight=0.5, threshold=10.0):
 def _sign_flip_fraction(tree_a, tree_b, thresh):
     """Fraction of elements whose values differ by more than ``thresh``
     across the whole tree (Adam sign-flip-tolerant comparison)."""
+    paths_a = [jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_leaves_with_path(tree_a)]
+    paths_b = [jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_leaves_with_path(tree_b)]
+    assert paths_a == paths_b, \
+        "param trees diverged structurally; comparison would be misaligned"
     flat_a = jax.tree_util.tree_leaves(tree_a)
     flat_b = jax.tree_util.tree_leaves(tree_b)
     bad = total = 0

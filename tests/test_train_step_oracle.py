@@ -210,9 +210,10 @@ class TestTrainStepOracle:
             np.testing.assert_allclose(
                 np.asarray(leaf), np.asarray(flat_want[path]), atol=2e-5,
                 err_msg=f"step-1 batch_stats {jax.tree_util.keystr(path)}")
+        flat_want3 = dict(jax.tree_util.tree_leaves_with_path(
+            after["batch_stats"]))
         for path, leaf in jax.tree_util.tree_leaves_with_path(stats_snaps[-1]):
-            want_leaf = dict(jax.tree_util.tree_leaves_with_path(
-                after["batch_stats"]))[path]
             np.testing.assert_allclose(
-                np.asarray(leaf), np.asarray(want_leaf), rtol=0.15, atol=5e-3,
+                np.asarray(leaf), np.asarray(flat_want3[path]),
+                rtol=0.15, atol=5e-3,
                 err_msg=f"step-3 batch_stats {jax.tree_util.keystr(path)}")
