@@ -55,21 +55,33 @@ class SRRegressClsFeature(nn.Module):
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     compute_mode: str = "literal"  # or "packed" (eval-only fast path)
     drop_connect_rate: float = 0.2  # smp/efficientnet-pytorch default
+    remat: bool = False  # rematerialise the 256^2 fusion stack in backward
     dtype: Dtype = jnp.float32
 
     def setup(self):
         packed = self.compute_mode == "packed"
+        # ``remat=True`` wraps the full-resolution (256^2) fusion modules in
+        # jax.checkpoint (flax nn.remat): their activations — by far the
+        # largest live ranges in training — are recomputed in the backward
+        # pass instead of stored, trading ~one extra forward of the cheap
+        # 16-channel stack for HBM headroom at large batch. Numerically
+        # identical (pinned by tests/test_remat.py); no reference
+        # counterpart (torch would use checkpoint_sequential).
+        hrfeature, hrfuse = HRFeature, HRFuseResidual
+        if self.remat:
+            hrfeature = nn.remat(HRFeature, static_argnums=(2,))
+            hrfuse = nn.remat(HRFuseResidual, static_argnums=(3,))
         self.encoder = EfficientNetEncoder(
             self.encoder_name, drop_connect_rate=self.drop_connect_rate,
             dtype=self.dtype)
         self.decoder1 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
         self.decoder2 = UnetDecoder(self.decoder_channels, dtype=self.dtype)
-        self.hrfeat = HRFeature(self.super_mid, self.super_mid,
+        self.hrfeat = hrfeature(self.super_mid, self.super_mid,
                                 packed=packed, dtype=self.dtype)
-        self.reg = HRFuseResidual(self.decoder_channels[-1], 1, self.upscale,
-                                  packed=packed, dtype=self.dtype)
-        self.seg = HRFuseResidual(self.decoder_channels[-1], self.chans_build,
-                                  self.upscale, packed=packed, dtype=self.dtype)
+        self.reg = hrfuse(self.decoder_channels[-1], 1, self.upscale,
+                          packed=packed, dtype=self.dtype)
+        self.seg = hrfuse(self.decoder_channels[-1], self.chans_build,
+                          self.upscale, packed=packed, dtype=self.dtype)
         if self.isaggre:
             self.aggre_height = tconv(1, 3, dtype=self.dtype)
 

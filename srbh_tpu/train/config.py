@@ -51,6 +51,9 @@ class TrainConfig:
     stride: int = 60
     # TPU knobs (new)
     bf16: bool = False
+    # rematerialise the 256^2 fusion stack in backward (jax.checkpoint):
+    # trades one extra cheap forward for HBM headroom at large batch
+    remat: bool = False
     num_sample: int = 0
     # exact resume: persist optax state (reference never does, train.py:207)
     save_opt_state: bool = False

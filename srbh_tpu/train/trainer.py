@@ -61,7 +61,7 @@ def build_models(cfg: TrainConfig, dtype=None):
     model = models.SRRegressClsFeature(
         encoder_name=cfg.encoder_name, super_mid=cfg.super_mid,
         upscale=cfg.upscale, isaggre=cfg.isaggre, chans_build=cfg.chans_build,
-        dtype=dtype)
+        remat=getattr(cfg, "remat", False), dtype=dtype)
     return model, sr
 
 
