@@ -193,6 +193,12 @@ class RRDBNet(nn.Module):
     dtype: Dtype = jnp.float32
     fused: bool = False
     quantize: bool = False  # opt-in int8 serving mode (ops/quant.py)
+    # rematerialise each RRDB in backward (jax.checkpoint): the 23-block
+    # trunk's concat-growth activations are the GAN trainer's largest live
+    # ranges (SURVEY hard part #2); numerically identical, ~1 extra trunk
+    # forward of FLOPs when training the generator. Irrelevant for the
+    # frozen-feature path (stop_gradient stores nothing anyway).
+    remat: bool = False
 
     def _tconv(self, x, feats, name):
         """Trunk conv: bf16 nn.Conv, or int8 MXU path when quantized."""
@@ -211,9 +217,10 @@ class RRDBNet(nn.Module):
             x = pixel_unshuffle(x, 4)
         feat = self._tconv(x, self.num_feat, "conv_first")
         body = feat
+        block_cls = nn.remat(RRDB) if self.remat else RRDB
         for i in range(self.num_block):
-            body = RRDB(self.num_feat, self.num_grow_ch, self.dtype,
-                        self.fused, self.quantize, name=f"body_{i}")(body)
+            body = block_cls(self.num_feat, self.num_grow_ch, self.dtype,
+                             self.fused, self.quantize, name=f"body_{i}")(body)
         body = self._tconv(body, self.num_feat, "conv_body")
         feat = feat + body
         lrelu = lambda v: nn.leaky_relu(v, 0.2)

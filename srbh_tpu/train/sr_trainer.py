@@ -86,10 +86,14 @@ class RealESRGANTrainer:
                  ema_decay: float = 0.999, lr: float = 1e-4,
                  gan_weight: float = 0.1, perceptual: bool = True,
                  disc_feat: int = 64, dtype=jnp.float32,
-                 milestones=(400000,), warmup_iter: int = -1):
+                 milestones=(400000,), warmup_iter: int = -1,
+                 remat: bool = False):
+        # remat=True checkpoints each RRDB in the generator's backward —
+        # the HBM knob for large-batch GAN finetunes (SURVEY hard part #2)
         self.net_g = RRDBNet(num_out_ch=out_ch, scale=scale,
                              num_feat=num_feat, num_block=num_block,
-                             num_grow_ch=num_grow_ch, dtype=dtype)
+                             num_grow_ch=num_grow_ch, dtype=dtype,
+                             remat=remat)
         self.net_d = UNetDiscriminatorSN(num_feat=disc_feat, dtype=dtype)
         self.vgg = VGG19Features(dtype=dtype) if perceptual else None
         self.out_ch, self.scale = out_ch, scale

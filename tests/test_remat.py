@@ -75,3 +75,35 @@ class TestRemat:
         for op, orr in zip(outs_p, outs_r):
             np.testing.assert_allclose(np.asarray(orr), np.asarray(op),
                                        atol=1e-6)
+
+
+class TestRRDBNetRemat:
+    """remat=True checkpoints each RRDB block of the ESRGAN generator — the
+    GAN trainer's HBM knob (rrdbnet_arch.py:113-167 trunk). Must be a pure
+    backward-memory change: identical forward and gradients."""
+
+    def test_forward_and_grads_match(self):
+        from srbh_tpu.models import RRDBNet
+
+        rng = np.random.default_rng(37)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)), jnp.float32)
+        kw = dict(num_feat=16, num_block=2, num_grow_ch=8)
+        plain, rem = RRDBNet(**kw), RRDBNet(**kw, remat=True)
+        variables = plain.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(variables)
+                == jax.tree_util.tree_structure(
+                    rem.init(jax.random.PRNGKey(0), x)))
+
+        def vg(model):
+            return jax.jit(jax.value_and_grad(
+                lambda p: jnp.mean(model.apply({"params": p}, x) ** 2)))
+
+        loss_p, grads_p = vg(plain)(variables["params"])
+        loss_r, grads_r = vg(rem)(variables["params"])
+        np.testing.assert_allclose(float(loss_r), float(loss_p), rtol=1e-6)
+        for (path, gp), (_, gr) in zip(
+                jax.tree_util.tree_leaves_with_path(grads_p),
+                jax.tree_util.tree_leaves_with_path(grads_r)):
+            np.testing.assert_allclose(
+                np.asarray(gr), np.asarray(gp), rtol=1e-5, atol=1e-7,
+                err_msg=f"grad {jax.tree_util.keystr(path)}")
