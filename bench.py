@@ -38,9 +38,29 @@ import json
 import math
 import os
 import statistics
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+# Watchdog: a wedged TPU tunnel makes the XLA client HANG (not error) on
+# the first transfer — observed live. Better to die with a diagnostic than
+# eat the caller's whole time budget. Generous default: a COLD compile of
+# the constant-baked program hashes ~145 MB through the relay (>15 min).
+_WATCHDOG_SECS = float(os.environ.get("SRBH_BENCH_WATCHDOG", "2700"))
+
+
+def _watchdog():
+    time.sleep(_WATCHDOG_SECS)
+    import sys
+    # no JSON on the watchdog path: a wedged tunnel has no honest number,
+    # and a rc!=0 with empty stdout is the clearest driver-facing signal
+    sys.stderr.write("bench.py watchdog: no result after "
+                     f"{_WATCHDOG_SECS}s (TPU tunnel wedged?); aborting\n")
+    os._exit(2)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp

@@ -16,6 +16,8 @@ Measured sweep (one v5e chip, bf16, median of 3):
 budget (45k tiles x 0.7 train split x 20 epochs) is ~26 minutes on ONE chip.
 
 Usage: python -m srbh_tpu.tools.train_bench [batch] [chain_steps]
+Env: SRBH_TRAIN_REMAT=1 re-measures with the 256^2 fusion stack
+rematerialised (jax.checkpoint) — the HBM-for-FLOPs tradeoff knob.
 """
 from __future__ import annotations
 
@@ -45,9 +47,10 @@ def main(batch: int = 128, chain: int = 4):
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
     sr = models.RRDBNet(num_block=23, num_feat=64, num_grow_ch=32, dtype=dtype)
+    remat = os.environ.get("SRBH_TRAIN_REMAT", "0") == "1"
     model = models.SRRegressClsFeature(
         encoder_name="efficientnet-b4", super_mid=16, isaggre=True,
-        chans_build=7, dtype=dtype)
+        chans_build=7, remat=remat, dtype=dtype)
 
     x = jax.random.uniform(rng, (batch, 64, 64, 8), jnp.float32)
     sr_params = jax.jit(sr.init)(rng, x[..., :3].astype(dtype))
