@@ -66,3 +66,30 @@ def test_dryrun_bootstraps_when_backend_unavailable(monkeypatch):
         assert calls == [8]
     finally:
         sys.path.remove(REPO)
+
+
+def test_dryrun_bootstraps_when_backend_probe_hangs(monkeypatch):
+    """A wedged TPU tunnel HANGS backend init (~25 min before raising,
+    observed live) — the probe is a bounded daemon thread, after which the
+    dry-run must proceed to the virtual-mesh bootstrap."""
+    import threading
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__
+
+        hang = threading.Event()
+
+        def stuck():
+            hang.wait(30)  # far beyond the 1 s probe bound below
+            return []
+
+        calls = []
+        monkeypatch.setenv("SRBH_PROBE_TIMEOUT", "1")
+        monkeypatch.setattr(__graft_entry__.jax, "devices", stuck)
+        monkeypatch.setattr(__graft_entry__, "_bootstrap_virtual_mesh",
+                            lambda n: calls.append(n))
+        __graft_entry__.dryrun_multichip(8)
+        assert calls == [8]
+        hang.set()
+    finally:
+        sys.path.remove(REPO)
