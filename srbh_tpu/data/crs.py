@@ -194,7 +194,26 @@ def from_wkt(wkt: str):
         a = float(m.group(1))
         invf = float(m.group(2))
         f = 1.0 / invf if invf else 0.0
-    if "PROJCS" not in wkt.upper():
+    # fail-loud guards: a non-Greenwich prime meridian or a non-metre /
+    # non-degree UNIT (e.g. US state-plane feet) would parse "successfully"
+    # and then silently mis-locate every transformed coordinate
+    pm = re.search(r'PRIMEM\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)', wkt)
+    if pm and abs(float(pm.group(1))) > 1e-9:
+        raise ValueError(f"unsupported prime meridian {pm.group(1)} "
+                         "(only Greenwich)")
+    is_projected = "PROJCS" in wkt.upper()
+    # the LAST top-level UNIT clause governs the CRS's coordinate unit
+    # (earlier ones inside GEOGCS of a PROJCS are the angular unit)
+    units = re.findall(r'UNIT\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)', wkt)
+    if units:
+        u = float(units[-1])
+        want = 1.0 if is_projected else 0.0174532925199433
+        if not math.isclose(u, want, rel_tol=1e-6):
+            kind = "metre" if is_projected else "degree"
+            raise ValueError(
+                f"unsupported UNIT factor {u} (only {kind}-based CRS; "
+                "got e.g. feet?) — reproject the raster first")
+    if not is_projected:
         return Geographic(a, f)
     params = {k.lower(): float(v) for k, v in _PARAM_RE.findall(wkt)}
     proj_m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', wkt, re.IGNORECASE)

@@ -45,9 +45,7 @@ def initialize_distributed(coordinator: Optional[str] = None,
     (e.g. the CPU two-process test harness)."""
     if coordinator is None:
         return
-    from jax._src import distributed as _dist
-
-    if getattr(_dist.global_state, "client", None) is not None:
+    if jax.distributed.is_initialized():
         return  # already initialised
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,

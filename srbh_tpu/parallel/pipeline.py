@@ -19,7 +19,6 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from srbh_tpu.parallel.mesh import MODEL_AXIS
@@ -51,8 +50,10 @@ def pipeline_apply(stage_fn: Callable, stage_params, microbatches,
     def spmd(local_params, mbs):
         local_params = jax.tree_util.tree_map(lambda p: p[0], local_params)
         idx = lax.axis_index(axis)
-        state = jnp.zeros_like(mbs[0])
-        out = jnp.zeros_like(mbs)
+        # carries start device-varying (each device holds different partial
+        # state before the final psum) — required by shard_map's vma checks
+        state = lax.pcast(jnp.zeros_like(mbs[0]), axis, to="varying")
+        out = lax.pcast(jnp.zeros_like(mbs), axis, to="varying")
 
         def tick(carry, t):
             state, out = carry
@@ -76,8 +77,8 @@ def pipeline_apply(stage_fn: Callable, stage_params, microbatches,
         return lax.psum(out, axis)
 
     spec_params = jax.tree_util.tree_map(lambda _: P(axis), stage_params)
-    fn = shard_map(spmd, mesh=mesh, in_specs=(spec_params, P()),
-                   out_specs=P(), check_rep=False)
+    fn = jax.shard_map(spmd, mesh=mesh, in_specs=(spec_params, P()),
+                       out_specs=P())
     return fn(stage_params, microbatches)
 
 
@@ -122,7 +123,9 @@ def rrdb_pipeline_features(sr, variables, x, mesh: Mesh,
         per = B // S
     else:
         raise ValueError(f"num_block={B} not divisible by {S} stages")
-    M = num_microbatches or S
+    M = S if num_microbatches is None else num_microbatches
+    if M < 1:
+        raise ValueError(f"num_microbatches must be >= 1, got {M}")
     if x.shape[0] % M:
         raise ValueError(f"batch {x.shape[0]} not divisible by {M} microbatches")
 

@@ -94,18 +94,24 @@ def main(argv=None):
     model = models.SRRegressClsFeature(
         encoder_name=args.encoder, super_mid=args.super_mid, isaggre=True,
         chans_build=7, dtype=jnp.bfloat16)
+    # a half-loaded artifact (one side trained, the other random init)
+    # looks valid but serves garbage — refuse rather than guess
+    if bool(args.ckpt) != bool(args.sr_ckpt):
+        ap.error("--ckpt and --sr-ckpt must be given together (a random "
+                 "half would silently export an untrained trunk/model); "
+                 "omit both for a random-weights smoke export")
+
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, args.tile, args.tile, 8), jnp.bfloat16)
-    sr_params = jax.jit(sr.init)(rng, x[..., :3])
-    fea = jnp.zeros((1, args.tile * 4, args.tile * 4, 64), jnp.bfloat16)
-    variables = jax.jit(model.init)(rng, x, fea)
-    if args.ckpt or args.sr_ckpt:
+    if args.ckpt:  # restore replaces BOTH inits: skip the expensive traces
         from flax.serialization import msgpack_restore
 
-        if args.ckpt:
-            variables = msgpack_restore(open(args.ckpt, "rb").read())
-        if args.sr_ckpt:
-            sr_params = msgpack_restore(open(args.sr_ckpt, "rb").read())
+        variables = msgpack_restore(open(args.ckpt, "rb").read())
+        sr_params = msgpack_restore(open(args.sr_ckpt, "rb").read())
+    else:
+        sr_params = jax.jit(sr.init)(rng, x[..., :3])
+        fea = jnp.zeros((1, args.tile * 4, args.tile * 4, 64), jnp.bfloat16)
+        variables = jax.jit(model.init)(rng, x, fea)
 
     data = export_flagship(model, sr, variables, sr_params,
                            tile=args.tile, batch=args.batch)

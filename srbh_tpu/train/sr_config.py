@@ -47,6 +47,7 @@ def load_finetune_yml(path: str) -> Dict[str, Any]:
             percep.get("perceptual_weight", 1.0)) > 0,
         "disc_feat": int(cfg.get("network_d", {}).get("num_feat", 64)),
         "milestones": tuple(int(m) for m in sched.get("milestones", (400000,))),
+        "gamma": float(sched.get("gamma", 0.5)),
         "warmup_iter": int(train.get("warmup_iter", -1)),
     }
     return {

@@ -86,8 +86,8 @@ class RealESRGANTrainer:
                  ema_decay: float = 0.999, lr: float = 1e-4,
                  gan_weight: float = 0.1, perceptual: bool = True,
                  disc_feat: int = 64, dtype=jnp.float32,
-                 milestones=(400000,), warmup_iter: int = -1,
-                 remat: bool = False):
+                 milestones=(400000,), gamma: float = 0.5,
+                 warmup_iter: int = -1, remat: bool = False):
         # remat=True checkpoints each RRDB in the generator's backward —
         # the HBM knob for large-batch GAN finetunes (SURVEY hard part #2)
         self.net_g = RRDBNet(num_out_ch=out_ch, scale=scale,
@@ -100,12 +100,14 @@ class RealESRGANTrainer:
         self.vgg_variables = None  # set by init(); make_step requires it
         self.ema_decay = ema_decay
         self.gan_weight = gan_weight
-        self.schedule = multistep_lr(lr, milestones, warmup_iter=warmup_iter)
+        self.schedule = multistep_lr(lr, milestones, gamma=gamma,
+                                     warmup_iter=warmup_iter)
         self.lr = lr
 
     def init(self, rng, lq_shape: Tuple[int, ...],
              vgg_variables: Optional[dict] = None,
-             g_params: Optional[dict] = None) -> GANTrainState:
+             g_params: Optional[dict] = None,
+             d_vars: Optional[dict] = None) -> GANTrainState:
         k1, k2, k3 = jax.random.split(rng, 3)
         lq = jnp.zeros(lq_shape)
         gt_shape = (lq_shape[0], lq_shape[1] * self.scale,
@@ -114,7 +116,11 @@ class RealESRGANTrainer:
             g_vars = {"params": g_params}
         else:
             g_vars = jax.jit(self.net_g.init)(k1, lq)
-        d_vars = jax.jit(self.net_d.init)(k2, jnp.zeros(gt_shape))
+        if d_vars is None:  # else: pretrain_network_d warm start
+            # (finetune_realesrgan_x4plus_pairdata.yml:113; convert with
+            # train/convert.py:convert_unet_discriminator_sn, which carries
+            # the spectral-norm power-iteration state)
+            d_vars = jax.jit(self.net_d.init)(k2, jnp.zeros(gt_shape))
         self.vgg_variables = vgg_variables
         if self.vgg is not None and vgg_variables is None:
             self.vgg_variables = jax.jit(self.vgg.init)(k3, jnp.zeros(gt_shape))
