@@ -115,6 +115,38 @@ def augment_pair_lowres(rng: np.random.Generator, img_lr: np.ndarray,
     return img_lr, mask
 
 
+def augment_lrhr_pair(rng: np.random.Generator, lr: np.ndarray,
+                      hr: np.ndarray, scale: int = 4
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Joint SR-pair augmentation (BH_loader.py:713-716, 729-736): Flip +
+    RandomGridShuffle(2,2) + Rotate, each p=0.5, applied by the reference to
+    the x4-nearest-upsampled LR concatenated with the HR target.
+
+    Unlike :func:`augment_pair_lowres`'s image/mask split, BOTH halves are
+    part of the albumentations *image* here, so the rotation interpolates
+    both with INTER_LINEAR. The LR half uses the same fused low-res trick:
+    flips and 2x2 shuffles are block-aligned (exact at LR resolution), and
+    only the rotation branch replicates to hi-res, warps with the identical
+    affine call, and nearest-subsamples back (== the reference's
+    F.interpolate(scale_factor=0.25, mode='nearest') at BH_loader.py:745).
+    """
+    if rng.random() < 0.5:
+        d = int(rng.integers(-1, 2))
+        lr, hr = cv2.flip(lr, d), cv2.flip(hr, d)
+    if rng.random() < 0.5:
+        order = rng.permutation(4)
+        lr = _grid_shuffle_apply(lr, order)
+        hr = _grid_shuffle_apply(hr, order)
+    if rng.random() < 0.5:
+        angle = float(rng.uniform(-90.0, 90.0))
+        h, w = hr.shape[:2]
+        mat = cv2.getRotationMatrix2D((w / 2 - 0.5, h / 2 - 0.5), angle, 1.0)
+        up = np.repeat(np.repeat(lr, scale, axis=0), scale, axis=1)
+        lr = _warp(up, mat, cv2.INTER_LINEAR)[::scale, ::scale]
+        hr = _warp(hr, mat, cv2.INTER_LINEAR)
+    return lr, hr
+
+
 _LUMA = np.asarray([0.2989, 0.587, 0.114], np.float32)  # ITU-R 601
 
 

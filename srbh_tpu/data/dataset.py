@@ -23,7 +23,7 @@ import cv2
 import numpy as np
 import pandas as pd
 
-from srbh_tpu.data.augment import augment_pair_lowres
+from srbh_tpu.data.augment import augment_lrhr_pair, augment_pair_lowres
 from srbh_tpu.data.tiff import read_tiff
 from srbh_tpu.ops.hierarchy import DEFAULT_HIR, WEIGHT_METHODS, build_hierarchy_lut
 from srbh_tpu.ops.normalize import load_stats_table, norm_offsets
@@ -60,14 +60,21 @@ class S12GlobeDataset:
         self.aug = aug
         self.rootname = rootname
         self.s2_off = self.s2_scale = self.s1_off = self.s1_scale = None
-        s2_path = os.path.join(datastats, f"{s2dir}_{normmethod}.txt")
-        if nchans > 0 and os.path.exists(s2_path):
+        # lazily optional (the S1/S2-only ablations each need only one
+        # table) but NEVER silently skipped: __getitem__ raises if a needed
+        # table is absent — the reference's np.loadtxt fails loudly too
+        # (BH_loader.py:300-306), and feeding unnormalised DN values would
+        # be clipped to an all-ones image with no error otherwise
+        self._s2_stats_path = os.path.join(
+            datastats, f"{s2dir}_{normmethod}.txt")
+        if nchans > 0 and os.path.exists(self._s2_stats_path):
             self.s2_off, self.s2_scale = norm_offsets(
-                load_stats_table(s2_path, nchans), normmethod)
-        s1_path = os.path.join(datastats, f"{s1dir}_{normmethod}.txt")
-        if os.path.exists(s1_path):
+                load_stats_table(self._s2_stats_path, nchans), normmethod)
+        self._s1_stats_path = os.path.join(
+            datastats, f"{s1dir}_{normmethod}.txt")
+        if os.path.exists(self._s1_stats_path):
             self.s1_off, self.s1_scale = norm_offsets(
-                load_stats_table(s1_path), normmethod)
+                load_stats_table(self._s1_stats_path), normmethod)
         self.datarange = datarange
         num_hier = len(hir) - 1
         self.heightweight = np.ones((num_hier,))
@@ -94,7 +101,7 @@ class S12GlobeDataset:
 
     def set_epoch(self, epoch: int) -> None:
         """Advance the augmentation stream (torch's per-epoch loader state).
-        Called by the trainer each epoch."""
+        Called by ``DataLoader.__iter__`` at the start of every epoch."""
         self._epoch = int(epoch)
 
     def _sample_rng(self, index: int) -> np.random.Generator:
@@ -128,9 +135,15 @@ class S12GlobeDataset:
             img, height = augment_pair_lowres(self._sample_rng(index), img, height)
         # normalise: first nchans are S2, rest S1 (BH_loader.py:361-363)
         bs2 = self.nchans
-        if bs2 > 0 and self.s2_off is not None:
+        if bs2 > 0:
+            if self.s2_off is None:
+                raise FileNotFoundError(
+                    f"missing S2 stats table {self._s2_stats_path}")
             img[..., :bs2] = (img[..., :bs2] - self.s2_off) / self.s2_scale
-        if img.shape[-1] > bs2 and self.s1_off is not None:
+        if img.shape[-1] > bs2:
+            if self.s1_off is None:
+                raise FileNotFoundError(
+                    f"missing S1 stats table {self._s1_stats_path}")
             img[..., bs2:] = (img[..., bs2:] - self.s1_off) / self.s1_scale
         if isinstance(self.datarange, tuple):
             img = img.clip(*self.datarange)
@@ -187,6 +200,9 @@ class S1GlobeDataset(S12GlobeDataset):
         img, height, img_path = self._load_pair(index)
         if self.aug:
             img, height = augment_pair_lowres(self._sample_rng(index), img, height)
+        if self.s1_off is None:
+            raise FileNotFoundError(
+                f"missing S1 stats table {self._s1_stats_path}")
         img = (img - self.s1_off) / self.s1_scale
         if isinstance(self.datarange, tuple):
             img = img.clip(*self.datarange)
@@ -200,15 +216,19 @@ class S1GlobeDataset(S12GlobeDataset):
 
 class LRHRPairDataset:
     """LR (Sentinel-2 RGB) / HR (GoogleEarth) pairs for Real-ESRGAN
-    finetuning (BH_loader.py:638-757), with joint random flips."""
+    finetuning (BH_loader.py:638-757): joint Flip + RandomGridShuffle(2,2)
+    + Rotate (each p=0.5, applied to the x4-up LR concatenated with HR —
+    here in the fused low-res form), per-band stats normalisation for both
+    sides, LR-only datarange clip, and the reference's seeded
+    ``.sample(n, random_state=0)`` subset selection."""
 
     def __init__(self, datalist: str, rootname: str, datastats: str,
                  normmethod: str = "minmax", aug: bool = False,
                  num_sample: int = 0, s2dir: str = "s2", gedir: str = "ge",
                  nchans: int = 3, seed: int = 1337):
         self.datalist = pd.read_csv(datalist, sep=",", header=None)
-        if num_sample > 0:
-            self.datalist = self.datalist[:num_sample]
+        if num_sample > 0:  # BH_loader.py:703-704: seeded random subset
+            self.datalist = self.datalist.sample(n=num_sample, random_state=0)
         self.rootname = rootname
         self.s2dir, self.gedir = s2dir, gedir
         self.nchans = nchans
@@ -216,6 +236,18 @@ class LRHRPairDataset:
         table = load_stats_table(os.path.join(datastats, f"{s2dir}_{normmethod}.txt"),
                                  nchans)
         self.off, self.scale = norm_offsets(table, normmethod)
+        # HR target stats (BH_loader.py:709-712). The reference repo ships
+        # no ge_* table (its SR data lives off-repo), so when the file is
+        # absent fall back to the uint8 GE identity table (0, 255) — the
+        # only self-consistent default — instead of crashing; a shipped
+        # table is honoured exactly.
+        ge_path = os.path.join(datastats, f"{gedir}_{normmethod}.txt")
+        if os.path.exists(ge_path):
+            self.ge_off, self.ge_scale = norm_offsets(
+                load_stats_table(ge_path, 3), normmethod)
+        else:
+            self.ge_off = np.zeros(3, np.float32)
+            self.ge_scale = np.full(3, 255.0, np.float32)
         self.seed = seed
         self._epoch = 0
         self._rows = list(self.datalist.itertuples(index=False, name=None))
@@ -233,11 +265,15 @@ class LRHRPairDataset:
         gedir = row[4] if len(row) > 4 else self.gedir
         lr = read_tiff(os.path.join(self.rootname, s2dir, basename))[..., : self.nchans]
         hr = read_tiff(os.path.join(self.rootname, gedir, basename))[..., :3]
-        lr = ((lr.astype(np.float32) - self.off) / self.scale).clip(0, 1)
-        hr = hr.astype(np.float32) / 255.0
+        lr = lr.astype(np.float32)
+        hr = hr.astype(np.float32)
         if self.aug:
-            rng = self._sample_rng(index)
-            if rng.random() < 0.5:
-                d = int(rng.integers(-1, 2))
-                lr, hr = cv2.flip(lr, d), cv2.flip(hr, d)
+            # reference order: x4-up, concat, aug, normalise, x0.25-down,
+            # clip (BH_loader.py:729-750). Flip/shuffle/warp all commute
+            # with the per-band affine normalisation, so augmenting the raw
+            # values first is exact; the LR side runs in the fused low-res
+            # form (see augment.augment_lrhr_pair).
+            lr, hr = augment_lrhr_pair(self._sample_rng(index), lr, hr)
+        lr = ((lr - self.off) / self.scale).clip(0, 1)  # clip: LR only
+        hr = (hr - self.ge_off) / self.ge_scale
         return {"lq": np.ascontiguousarray(lr), "gt": np.ascontiguousarray(hr)}

@@ -38,6 +38,11 @@ def confusion_update(cm: jnp.ndarray, pred: jnp.ndarray, label: jnp.ndarray) -> 
     return cm + flat[: c * c].reshape(c, c)
 
 
+# one XLA dispatch per add_batch instead of ~10-30 eager ops (the relay's
+# ~10 ms/dispatch floor would otherwise dominate evaluation wall-clock)
+confusion_update = jax.jit(confusion_update)
+
+
 def height_update(stats: jnp.ndarray, counts: jnp.ndarray,
                   pred: jnp.ndarray, ref: jnp.ndarray,
                   buildhir: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -64,6 +69,9 @@ def height_update(stats: jnp.ndarray, counts: jnp.ndarray,
 
     rows, cnts = jax.vmap(per_class)(jnp.arange(num_class))
     return stats + rows, counts + cnts[:, None]
+
+
+height_update = jax.jit(height_update)
 
 
 # ------------------------------------------------------------- host wrappers

@@ -89,8 +89,12 @@ def predict_city(
     """
     build_tif = os.path.join(respath, f"{cityname}_build.tif")
     height_tif = os.path.join(respath, f"{cityname}_height.tif")
-    if os.path.exists(build_tif):
-        return build_tif, height_tif  # resume: skip completed city
+    # resume: skip only when BOTH artifacts exist (build is written first,
+    # so a crash between the two writes must re-run the city — the
+    # reference keys on build alone and can lose the height tif forever,
+    # predict_…globe.py:129-131)
+    if os.path.exists(build_tif) and os.path.exists(height_tif):
+        return build_tif, height_tif
 
     from srbh_tpu.data.pipeline import DataLoader
 
@@ -143,11 +147,23 @@ def predict_cities(
     gridvalid: Optional[str] = "isv",
     nchans: int = 6, chans_build: int = 7, batch_size: int = 32,
     stitch: str = "host",
+    **step_kwargs,
 ):
-    """The per-region driver loop (predict_…globe.py:122-133,221-233)."""
-    step = make_city_step(model, sr_model)
+    """The per-region driver loop (predict_…globe.py:122-133,221-233).
+
+    ``step_kwargs`` forward to :func:`make_city_step` (``dtype`` for an
+    f32-parity sweep, ``mesh``/``partition`` for a sharded step)."""
+    step = make_city_step(model, sr_model, **step_kwargs)
     results = []
     for cityname in citynames:
+        # resume check BEFORE touching the city's inputs: completed cities
+        # must skip even if their rasters/grids were archived since
+        # (the reference checks first too, predict_…globe.py:129-131)
+        build_tif = os.path.join(respath, f"{cityname}_build.tif")
+        height_tif = os.path.join(respath, f"{cityname}_height.tif")
+        if os.path.exists(build_tif) and os.path.exists(height_tif):
+            results.append((build_tif, height_tif))
+            continue
         ds = GridImageDataset(wholeimgpath, cityname, datastats,
                               s1dir=s1dir, s2dir=s2dir,
                               gridvalid=gridvalid, nchans=nchans)

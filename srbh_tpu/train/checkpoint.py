@@ -26,28 +26,41 @@ def _ckptr():
 
 
 def commit_payload(path: str, payload: dict) -> None:
-    """Crash-safe orbax dir save: write to ``<path>.tmp`` then
-    ``os.replace`` — an interrupted save never destroys the only live
-    resume state. Shared by the trainer and SR-GAN checkpoint writers."""
+    """Crash-safe orbax dir save: write to ``<path>.tmp``, park the live dir
+    at ``<path>.old``, rename tmp into place, then delete old — at every
+    instant at least one complete checkpoint exists on disk, and
+    :func:`load_checkpoint` falls back to ``.old`` if a crash landed inside
+    the swap window. Shared by the trainer and SR-GAN checkpoint writers."""
     path = os.path.abspath(path)
-    tmp = path + ".tmp"
+    tmp, old = path + ".tmp", path + ".old"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     _ckptr().save(tmp, payload)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, old)
     os.replace(tmp, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 _pending_save = None  # most recent async save (serialises successive saves)
+_pending_error = None  # exception raised by the last async commit, if any
 
 
 def wait_for_saves():
-    """Block until the in-flight async save (if any) has committed."""
-    global _pending_save
+    """Block until the in-flight async save (if any) has committed.
+
+    Re-raises any exception the background commit hit (a full disk must
+    fail the run, not surface at resume time as a missing checkpoint)."""
+    global _pending_save, _pending_error
     if _pending_save is not None:
         t, _pending_save = _pending_save, None
         t.join()
+    if _pending_error is not None:
+        err, _pending_error = _pending_error, None
+        raise RuntimeError("async checkpoint save failed") from err
 
 
 def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
@@ -98,7 +111,16 @@ def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
 
         global _pending_save
         wait_for_saves()  # serialise with the previous in-flight save
-        t = threading.Thread(target=_commit, daemon=False)
+        # (and surface its failure HERE, at the next save)
+
+        def _commit_capture():
+            global _pending_error
+            try:
+                _commit()
+            except BaseException as e:  # noqa: BLE001 — re-raised on wait
+                _pending_error = e
+
+        t = threading.Thread(target=_commit_capture, daemon=False)
         t.start()
         _pending_save = t
     else:
@@ -108,11 +130,16 @@ def save_checkpoint(logdir: str, state, epoch: int, best_rmse: float,
 
 
 def load_checkpoint(path: str) -> Optional[dict]:
-    """Restore a checkpoint dict, or None if absent (resume-from-scratch)."""
+    """Restore a checkpoint dict, or None if absent (resume-from-scratch).
+
+    Falls back to ``<path>.old`` — the previous checkpoint parked by
+    :func:`commit_payload`'s swap — if a crash landed mid-swap."""
     path = os.path.abspath(path)
-    if not os.path.isdir(path):
-        return None
-    return _ckptr().restore(path)
+    if os.path.isdir(path):
+        return _ckptr().restore(path)
+    if os.path.isdir(path + ".old"):
+        return _ckptr().restore(path + ".old")
+    return None
 
 
 def restore_into_state(state, payload: dict):

@@ -165,6 +165,11 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         state = restore_into_state(state, payload)
         start_epoch = payload["epoch"]
         best_rmse = payload.get("best_rmse", float("inf"))
+        # advance the loaders to the resumed position so epochs N+1.. see
+        # the SAME shuffle order / augmentation draws as an uninterrupted
+        # run (DataLoader.__iter__ consumes-then-increments .epoch)
+        trainloader.epoch = start_epoch
+        valloader.epoch = start_epoch
         print(f"=> resumed epoch {start_epoch}")
 
     train_step = make_train_step(model, sr, cfg.rgbseq, cfg.isaggre,
@@ -212,8 +217,15 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
             val_losses.update(float(m["loss"]), n)
             val_rmses.update(float(m["rmse"]), n)
 
-        is_best = val_rmses.avg < best_rmse
-        best_rmse = min(val_rmses.avg, best_rmse)
+        if val_rmses.count == 0:
+            # an empty val loop (val set < batch with drop_last) would
+            # otherwise report rmse 0.0 and pin model_best to this epoch
+            print("warning: validation produced no batches; "
+                  "val rmse not comparable this epoch")
+            is_best = False
+        else:
+            is_best = val_rmses.avg < best_rmse
+            best_rmse = min(val_rmses.avg, best_rmse)
         save_checkpoint(cfg.logdir, state, epoch, best_rmse,
                         snapshot_every=5, is_best=is_best,
                         save_opt_state=cfg.save_opt_state,
