@@ -2,9 +2,16 @@
 
 Twin of BH_dataset.py: builds ``datalist_{region}.csv`` from tile dirs,
 shuffle-splits train 0.7 / (val 0.33 of the rest / test) with pandas
-``sample(frac=1, random_state=1)`` — the identical RNG call, so splits are
-row-for-row reproducible against the reference — and merges china/eu/usa
-into ``globe`` lists with per-row s1/s2/bh dir columns.
+``sample(frac=1, random_state=1)`` — the identical RNG call — and merges
+china/eu/usa into ``globe`` lists with per-row s1/s2/bh dir columns.
+
+Ordering note: tile names are SORTED before the seeded shuffle. The
+reference uses raw ``Path.rglob`` order (BH_dataset.py:63-75), which is
+filesystem-dependent and not reproducible in general; sorted input is the
+deterministic choice and matches the reference's shipped datalists
+(pinned by tests/test_datalist_goldens-style golden tests), i.e.
+row-for-row equality holds exactly when rglob yields sorted order — the
+case the shipped artifacts came from.
 """
 from __future__ import annotations
 

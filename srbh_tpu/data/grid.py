@@ -75,13 +75,28 @@ def fishgrid_cells(width: int, height: int, geotransform,
     return cells
 
 
-def write_fishgrid(tif_path: str, window_size: int = 64, offset: int = 56) -> str:
-    """Fishgridnew_bound: ``<tif>_grid.shp`` next to the raster."""
+def write_fishgrid(tif_path: str, window_size: int = 64, offset: int = 56,
+                   prj_wkt: Optional[str] = None) -> str:
+    """Fishgridnew_bound: ``<tif>_grid.shp`` next to the raster.
+
+    The grid inherits the raster's CRS as a ``.prj`` sidecar (the reference
+    stamps the layer SRS from the raster projection,
+    generate_WSF_mask_Globeheight_grid.py:323-327); pass ``prj_wkt`` to
+    override."""
     r = TiffReader(tif_path)
     cells = fishgrid_cells(r.width, r.height, r.geotransform,
                            window_size, offset)
+    if prj_wkt is None and (r.info().geo_keys or b""):
+        from srbh_tpu.data.crs import epsg_from_geokeys, wkt_for_epsg
+
+        code = epsg_from_geokeys(r.info().geo_keys)
+        if code is not None:
+            try:
+                prj_wkt = wkt_for_epsg(code)
+            except ValueError:
+                prj_wkt = None  # unsupported EPSG: grid still written
     out = tif_path[:-4] + "_grid.shp"
-    write_shapefile(out, [ShapeRecord(c) for c in cells])
+    write_shapefile(out, [ShapeRecord(c) for c in cells], prj_wkt=prj_wkt)
     return out
 
 
@@ -161,17 +176,14 @@ def fishgrid_stats(tif_file: str, shp_file: str,
         sums.append(s)
         counts.append(c)
         valids.append(1 if (s >= condition[1] and c >= condition[2]) else 0)
-    for rec, s, c, v in zip(records, sums, counts, valids):
-        rec.attributes[fieldname[0]] = s
-        rec.attributes[fieldname[1]] = c
-        rec.attributes[fieldname[2]] = v
+    # in-place DBF update: preserves every pre-existing attribute column
+    # (vrt_sum/absdiff/isv2/... from compare_grid_products) like the
+    # reference's OGR field updates (demo_preprocess_height_v2.py:1148-1153)
+    from srbh_tpu.data.shapefile import update_dbf_fields
+
     fields = [(fieldname[0], "N", 19, 0), (fieldname[1], "N", 19, 0),
               (fieldname[2], "N", 19, 0)]
-    prj = None
-    if os.path.exists(shp_file[:-4] + ".prj"):
-        prj = open(shp_file[:-4] + ".prj").read()
-    write_shapefile(shp_file, records, fields, prj)
-    return records
+    return update_dbf_fields(shp_file, fields, [sums, counts, valids])
 
 
 def count_fishgrid_valid(shp_file: str, fieldname: str = "isv") -> int:

@@ -123,7 +123,11 @@ def height_histogram(height_dir: str, savepath: str, savename: str,
     and ``_plot.jpg``), the ``preweight`` input of the loaders
     (BH_loader.py:313-315)."""
     if filelist is None:
-        paths = sorted(glob(join(height_dir, "*.tif")))
+        # recursive like the reference's rglob (stats_dataset_globe.py:137):
+        # height tiles are commonly organised in per-city subdirectories
+        paths = sorted(glob(join(height_dir, "**", "*.tif"), recursive=True))
+        if not paths:
+            raise FileNotFoundError(f"no .tif tiles under {height_dir}")
     else:
         names = pd.read_csv(filelist, header=None)[0].values
         paths = [join(height_dir, n) for n in names]

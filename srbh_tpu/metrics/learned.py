@@ -80,12 +80,19 @@ def _require(variables, what: str, converter: str):
 
 def _nearest_torch(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """torch ``F.interpolate(mode='nearest')`` convention on NHWC: source
-    index = floor(dst * in / out). Differs from jax.image.resize's
-    half-pixel-centre nearest (e.g. 3->4: torch picks [0,0,1,2], jax
-    [0,1,1,2]) — the reference resizes with the torch rule
+    index = floor(dst * float32(in / out)) — torch multiplies by the
+    float32 scale, NOT exact integer floor(dst*in//out), and the two
+    disagree at exact-boundary indices (e.g. 224->384 picks row 62 at dst
+    108 under torch, 63 under integer math). Differs from
+    jax.image.resize's half-pixel-centre nearest (3->4: torch [0,0,1,2],
+    jax [0,1,1,2]) — the reference resizes with the torch rule
     (SR/psnr_ssim.py:515-517)."""
-    iy = (np.arange(size) * x.shape[1] // size).astype(np.int32)
-    ix = (np.arange(size) * x.shape[2] // size).astype(np.int32)
+    sy = np.float32(x.shape[1] / size)
+    sx = np.float32(x.shape[2] / size)
+    iy = np.floor(np.arange(size, dtype=np.float32) * sy).astype(np.int32)
+    ix = np.floor(np.arange(size, dtype=np.float32) * sx).astype(np.int32)
+    iy = np.minimum(iy, x.shape[1] - 1)
+    ix = np.minimum(ix, x.shape[2] - 1)
     return x[:, iy][:, :, ix]
 
 

@@ -77,9 +77,12 @@ class LPIPS(nn.Module):
         f1 = self.net(self._scaled(x1))
         total = 0.0
         for lin, a, b in zip(self.lins, f0, f1):
-            # unit-normalise over channels (lpips.normalize_tensor, eps 1e-10)
-            a = a / jnp.sqrt(jnp.sum(a * a, -1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b * b, -1, keepdims=True) + 1e-10)
+            # unit-normalise over channels. lpips.normalize_tensor puts the
+            # eps OUTSIDE the sqrt — a/(sqrt(sum)+1e-10) — which matters for
+            # near-dead post-ReLU regions (sum ~1e-10 still yields a
+            # near-unit vector upstream)
+            a = a / (jnp.sqrt(jnp.sum(a * a, -1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, -1, keepdims=True)) + 1e-10)
             d = lin((a - b) ** 2)  # (N, H, W, 1)
             total = total + jnp.mean(d, axis=(1, 2, 3))  # spatial average
         return total

@@ -140,14 +140,20 @@ class SwinTransformerBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     use_pallas: bool = False
+    # the reference decides shift/window-clamp STATICALLY from the init
+    # img_size (network_swinir.py:178-183), not the runtime feature size:
+    # with img_size 64 it still shifts+masks a runtime 8x8 input. None
+    # falls back to the runtime rule (back-compat for direct block use).
+    static_size: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         """x: (B, H, W, C) image-space features."""
         b, h, w, c = x.shape
-        ws = min(self.window_size, min(h, w))
-        shift = 0 if min(h, w) <= self.window_size else self.shift_size
+        ref = self.static_size if self.static_size is not None else min(h, w)
+        ws = min(self.window_size, ref)
+        shift = 0 if ref <= self.window_size else self.shift_size
 
         shortcut = x
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -189,6 +195,7 @@ class RSTB(nn.Module):
     drop_paths: Sequence[float] = ()
     resi_connection: str = "1conv"
     use_pallas: bool = False
+    static_size: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -200,7 +207,8 @@ class RSTB(nn.Module):
                 self.dim, self.num_heads, self.window_size,
                 shift_size=0 if i % 2 == 0 else self.window_size // 2,
                 mlp_ratio=self.mlp_ratio, drop_path=dp,
-                use_pallas=self.use_pallas, dtype=self.dtype,
+                use_pallas=self.use_pallas, static_size=self.static_size,
+                dtype=self.dtype,
                 name=f"block{i}")(x, train)
         if self.resi_connection == "1conv":
             x = tconv(self.dim, 3, dtype=self.dtype, name="conv")(x)
@@ -228,6 +236,10 @@ class SwinIR(nn.Module):
     patch_norm: bool = True
     num_feat: int = 64
     use_pallas: bool = False  # fused Pallas window attention on TPU
+    # init-time training patch size: fixes the shift decision like the
+    # reference (every shipped preset has img_size > window_size, so the
+    # shifted windows fire even for degenerate runtime inputs)
+    img_size: int = 64
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -261,6 +273,7 @@ class SwinIR(nn.Module):
                          drop_paths=tuple(dpr[start: start + depth]),
                          resi_connection=self.resi_connection,
                          use_pallas=self.use_pallas,
+                         static_size=self.img_size,
                          dtype=self.dtype, name=f"layer{li}")(f, train)
                 start += depth
             f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(f)

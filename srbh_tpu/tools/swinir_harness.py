@@ -156,8 +156,16 @@ def run_folder(task: str, folder: str, variables, scale: int = 1,
                folder_lq: Optional[str] = None, noise: int = 15,
                jpeg: int = 40, tile: Optional[int] = None,
                tile_overlap: int = 32, save_dir: Optional[str] = None,
-               large_model: bool = False):
-    """Evaluate a folder; returns the averaged metric dict."""
+               large_model: bool = False,
+               shape_bucket: Optional[int] = None):
+    """Evaluate a folder; returns the averaged metric dict.
+
+    Whole-image mode (``tile=None``) jit-compiles once per distinct padded
+    shape — expensive on mixed-size sets (XLA recompile per size, unlike
+    the torch harness). ``shape_bucket=N`` (a multiple of the window size)
+    pads every image up to a multiple of N via the same flip-concat rule,
+    collapsing the shape set; outputs are cropped back so metrics are
+    computed on identical pixels up to the border padding's influence."""
     model = define_model(task, scale, large_model=large_model)
     border, window_size = setup(task, scale)
     apply_fn = jax.jit(lambda x: model.apply(variables, x))
@@ -168,10 +176,24 @@ def run_folder(task: str, folder: str, variables, scale: int = 1,
     for path in sorted(glob.glob(os.path.join(folder, "*"))):
         name, lq, gt = get_image_pair(task, path, folder_lq, scale, noise, jpeg)
         h_old, w_old = lq.shape[:2]
-        lq = pad_to_window_multiple(lq, window_size)
+        # cv2 reads BGR; the models are RGB-trained — flip in, flip out
+        # (main_test_swinir.py:63,80). Metrics/saves stay BGR like the
+        # reference (bgr2ycbcr expects BGR).
+        is_color = lq.ndim == 3 and lq.shape[2] == 3
+        if is_color:
+            lq = lq[:, :, ::-1]
+        if shape_bucket:
+            if shape_bucket % window_size:
+                raise ValueError("shape_bucket must be a multiple of the "
+                                 f"window size {window_size}")
+            lq = pad_to_window_multiple(lq, shape_bucket)
+        else:
+            lq = pad_to_window_multiple(lq, window_size)
         out = tiled_inference(apply_fn, lq.astype(np.float32), scale, tile,
                               tile_overlap, window_size)
         out = out[: h_old * scale, : w_old * scale]
+        if is_color:
+            out = out[..., ::-1]
         out8 = (np.clip(out, 0, 1) * 255.0).round().astype(np.uint8)
         if save_dir:
             cv2.imwrite(os.path.join(save_dir, f"{name}_SwinIR.png"),
@@ -221,6 +243,8 @@ def main(argv=None):
     model = define_model(args.task, args.scale, large_model=args.large_model)
     if args.model_path:
         payload = load_checkpoint(args.model_path)
+        if payload is None:
+            p.error(f"--model_path {args.model_path}: no checkpoint found")
         variables = {"params": payload["params"]}
     else:
         import jax as _jax

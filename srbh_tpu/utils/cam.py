@@ -20,12 +20,6 @@ import cv2
 import numpy as np
 
 
-def _normalise(cam: np.ndarray) -> np.ndarray:
-    cmin = cam.min(axis=(1, 2), keepdims=True)
-    cmax = cam.max(axis=(1, 2), keepdims=True)
-    return (cam - cmin) / np.maximum(cmax - cmin, 1e-5)
-
-
 def multi_scale_cam(cam_fn: Callable[[np.ndarray], np.ndarray],
                     image: np.ndarray,
                     scales: Sequence[float] = (1.0, 0.5, 1.5)) -> np.ndarray:
