@@ -237,17 +237,25 @@ def update_dbf_fields(path: str, new_fields, values_per_record):
     for i, rec in enumerate(records):
         for j, (name, *_spec) in enumerate(new_fields):
             rec.attributes[name] = values_per_record[j][i]
-    # preserve existing fields + add new ones
+    # preserve existing fields + add new ones. The caller's explicit
+    # (type, width, decimals) specs take precedence; inference from values
+    # scans ALL records (a None/int first value must not silently truncate
+    # later floats in that column to integer strings).
     existing: Dict[str, Tuple[str, str, int, int]] = {}
+    for spec in new_fields:
+        existing[spec[0]] = tuple(spec)
     for rec in records:
         for k, v in rec.attributes.items():
+            if k in existing:
+                continue
+            if isinstance(v, float):
+                existing[k] = (k, "N", 19, 6)
+            elif isinstance(v, str):
+                existing[k] = (k, "C", 32, 0)
+    for rec in records:  # int/None-only columns (no float seen anywhere)
+        for k, v in rec.attributes.items():
             if k not in existing:
-                if isinstance(v, float):
-                    existing[k] = (k, "N", 19, 6)
-                elif isinstance(v, int) or v is None:
-                    existing[k] = (k, "N", 19, 0)
-                else:
-                    existing[k] = (k, "C", 32, 0)
+                existing[k] = (k, "N", 19, 0)
     prj = None
     base = path[:-4]
     if os.path.exists(base + ".prj"):

@@ -260,7 +260,11 @@ class TiffReader:
         if typ == 5 or typ == 10:  # rationals (8 B: numerator, denominator)
             fmt = self._e + ("II" if typ == 5 else "ii") * cnt
             vals = struct.unpack(fmt, raw[: 8 * cnt])
-            return [vals[2 * i] / max(vals[2 * i + 1], 1) for i in range(cnt)]
+            # true division with negative SRATIONAL denominators honoured;
+            # an (invalid) zero denominator reads as 0.0 rather than
+            # silently pretending the denominator was 1
+            return [vals[2 * i] / vals[2 * i + 1] if vals[2 * i + 1] else 0.0
+                    for i in range(cnt)]
         if typ not in _TYPE_FMT:
             raise ValueError(f"{self.path}: corrupt TIFF: tag {tag} has "
                              f"unknown type {typ}")
@@ -369,13 +373,26 @@ class TiffReader:
             n = len(v) // 3
             cmap = {i: (v[i] >> 8, v[n + i] >> 8, v[2 * n + i] >> 8, 255)
                     for i in range(n)}
+        def _geo(tag, itemsize):
+            """Geo payload normalised to LITTLE-endian bytes: write_tiff
+            always emits 'II' files, so raw big-endian payloads stamped
+            verbatim would carry byte-swapped (wrong-CRS) geokeys."""
+            if tag not in self.tags:
+                return None
+            raw = self.tags[tag][2]
+            if self._e == ">" and itemsize > 1:
+                kind = {2: "u2", 8: "f8"}[itemsize]
+                raw = np.frombuffer(raw[: len(raw) - len(raw) % itemsize],
+                                    ">" + kind).astype("<" + kind).tobytes()
+            return raw
+
         return TiffInfo(
             width=self.width, height=self.height, count=self.spp,
             dtype=self.dtype, compression=self.compression,
             geotransform=self.geotransform, nodata=self.nodata, colormap=cmap,
-            geo_keys=self.tags.get(T_GEO_KEYS, (0, 0, b""))[2] if T_GEO_KEYS in self.tags else None,
-            geo_doubles=self.tags.get(T_GEO_DOUBLES, (0, 0, b""))[2] if T_GEO_DOUBLES in self.tags else None,
-            geo_ascii=self.tags.get(T_GEO_ASCII, (0, 0, b""))[2] if T_GEO_ASCII in self.tags else None,
+            geo_keys=_geo(T_GEO_KEYS, 2),
+            geo_doubles=_geo(T_GEO_DOUBLES, 8),
+            geo_ascii=_geo(T_GEO_ASCII, 1),
         )
 
     # ----------------------------------------------------------------- data
@@ -445,8 +462,9 @@ class TiffReader:
             # clamp to the image extent like the tile path: windows crossing
             # the right/bottom edge zero-fill instead of raising
             x1_img = min(xoff + xs, self.width)
+            xspan = max(x1_img - xoff, 0)  # xoff >= width: zero-fill window
             last_strip = min((yoff + ys - 1) // rps, strips_per_plane - 1)
-            for p in range(planes):
+            for p in range(planes if xspan else 0):
                 for s in range(yoff // rps, last_strip + 1):
                     rows = min(rps, self.height - s * rps)
                     strip = self._decode_chunk(p * strips_per_plane + s,
@@ -455,10 +473,9 @@ class TiffReader:
                     y1 = min(s * rps + rows, yoff + ys)
                     sub = strip[y0 - s * rps: y1 - s * rps, xoff: x1_img]
                     if self.planar == 2:
-                        out[y0 - yoff: y1 - yoff, : x1_img - xoff, p] = \
-                            sub[..., 0]
+                        out[y0 - yoff: y1 - yoff, : xspan, p] = sub[..., 0]
                     else:
-                        out[y0 - yoff: y1 - yoff, : x1_img - xoff] = sub
+                        out[y0 - yoff: y1 - yoff, : xspan] = sub
         return out
 
 

@@ -259,10 +259,16 @@ def weighted_ce_loss(logits, labels, weight: Optional[Sequence[float]] = None):
 
 
 def dist_penalized_ce(logits, labels, dist_map):
-    """DisPenalizedCE (ND_Crossentropy.py:83-120): CE scaled by (1 + DT)."""
+    """DisPenalizedCE (ND_Crossentropy.py:168-208). Reference quirk twinned
+    exactly: the distance weighting is computed but DEAD — the module
+    returns the plain ``loss.mean()`` (``weighted_loss`` at :205-206 is
+    never used), so ``dist_map`` does not affect the value (kept in the
+    signature for API parity; see edts_penalized_map for the map builder).
+    """
+    del dist_map  # computed-but-unused in the reference
     logp = jax.nn.log_softmax(logits, -1)
     ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), -1)[..., 0]
-    return ((1.0 + dist_map) * ce).mean()
+    return ce.mean()
 
 
 def nll_loss(log_probs, labels):
@@ -336,12 +342,14 @@ def dc_and_bd_loss(logits, labels, dist_map, alpha: float = 1.0):
 
 def explog_loss(logits, labels, gamma: float = 0.3, w_dice: float = 0.8,
                 w_ce: float = 0.2):
-    """ExpLog_loss (dice_loss.py:510-540): weighted exp-log dice + CE."""
+    """ExpLog_loss (dice_loss.py:480-503): exp-log on the DICE term only —
+    ``0.8 * (-log(clamp(-dc, 1e-6)))^gamma + 0.2 * wce`` with the CE term
+    kept LINEAR (the paper applies the exp-log to both, but the reference
+    code does not; behaviour is twinned, not intent)."""
     dc = soft_dice_loss(logits, labels)  # in [-1, 0]
-    ce = softmax_cross_entropy(logits, labels)
-    expdice = jnp.power(-jnp.log(jnp.clip(-dc, 1e-7)), gamma)
-    expce = jnp.power(ce, gamma)
-    return w_dice * expdice + w_ce * expce
+    ce = weighted_ce_loss(logits, labels)
+    expdice = jnp.power(-jnp.log(jnp.clip(-dc, 1e-6)), gamma)
+    return w_dice * expdice + w_ce * ce
 
 
 def ce_mse_loss(seg_logits, seg_labels, bd_pred, bd_target,
@@ -353,10 +361,8 @@ def ce_mse_loss(seg_logits, seg_labels, bd_pred, bd_target,
     return ce + beta * mse
 
 
-def _bce_with_logits(logits, target):
-    import optax
-
-    return jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
+# shared with the GAN losses — one definition (losses/sr.py)
+from srbh_tpu.losses.sr import _bce_with_logits  # noqa: E402
 
 
 def _binary_iou(prob, target):
@@ -375,12 +381,12 @@ def bce_ssim_iou_loss(logits, target01, data_range: float = 1.0):
 
     ``logits``: (N, H, W, 1) raw scores; ``target01``: same-shape 0/1 mask.
     """
-    from srbh_tpu.losses.ssim_loss import ssim_loss as _ssim_loss
+    from srbh_tpu.losses.ssim_loss import ssim_same
 
     prob = jax.nn.sigmoid(logits)
     t = target01.astype(prob.dtype)
     bce = _bce_with_logits(logits, t)
-    ssim = _ssim_loss(prob, t, data_range=data_range)
+    ssim = 1.0 - ssim_same(prob, t, data_range=data_range)
     iou = _binary_iou(prob, t)
     return bce + ssim + iou
 
@@ -394,11 +400,12 @@ def bce_iou_loss(logits, target01):
 
 def bce_ssim_loss(logits, target01, data_range: float = 1.0):
     """BCE + (1 - SSIM) on binary maps (myloss.py:55-70 BCE_SSIM)."""
-    from srbh_tpu.losses.ssim_loss import ssim_loss as _ssim_loss
+    from srbh_tpu.losses.ssim_loss import ssim_same
 
     prob = jax.nn.sigmoid(logits)
     t = target01.astype(prob.dtype)
-    return _bce_with_logits(logits, t) + _ssim_loss(prob, t, data_range=data_range)
+    return _bce_with_logits(logits, t) + (
+        1.0 - ssim_same(prob, t, data_range=data_range))
 
 
 def bce_dice_loss(logits, target01):

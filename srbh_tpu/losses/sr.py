@@ -86,7 +86,9 @@ def tv_loss(x: jnp.ndarray, loss_weight: float = 1.0) -> jnp.ndarray:
     return loss_weight * 2 * (h_tv / count_h + w_tv / count_w)
 
 
-def charbonnier_loss(x, gt, eps: float = 1e-12) -> jnp.ndarray:
+def charbonnier_loss(x, gt, eps: float = 1e-9) -> jnp.ndarray:
+    """CharbonnierLoss (SR/srloss.py:280-290); the reference's default eps
+    is 1e-9 (loss floor sqrt(eps) ~ 3.16e-5 at zero residual)."""
     return jnp.mean(jnp.sqrt((x - gt) ** 2 + eps))
 
 
@@ -117,7 +119,14 @@ def g_path_regularize(fake_fn: Callable, latents: jnp.ndarray,
 
     keys = jax.random.split(key, latents.shape[0])
     grads = jax.vmap(per_example)(latents, keys)
-    path_lengths = jnp.sqrt(jnp.sum(grads.reshape(latents.shape[0], -1) ** 2, 1))
+    if grads.ndim >= 3:
+        # reference: sqrt(grad.pow(2).sum(2).mean(1)) over (B, L, D)
+        # latents (SR/srloss.py:317) — MEAN over the layer axis, not a
+        # flattened sum (they differ by sqrt(L))
+        g2 = grads.reshape(latents.shape[0], latents.shape[1], -1)
+        path_lengths = jnp.sqrt(jnp.mean(jnp.sum(g2 ** 2, 2), 1))
+    else:  # (B, D): degenerate single-latent case
+        path_lengths = jnp.sqrt(jnp.sum(grads ** 2, 1))
     path_mean = mean_path_length + decay * (jnp.mean(path_lengths) - mean_path_length)
     penalty = jnp.mean((path_lengths - path_mean) ** 2)
     return penalty, jnp.mean(path_lengths), path_mean
@@ -132,7 +141,10 @@ def gradient_penalty_loss(disc_fn: Callable, real: jnp.ndarray,
     grad = jax.grad(lambda x: jnp.sum(disc_fn(x)))(interp)
     if weight is not None:
         grad = grad * weight
-    norm = jnp.sqrt(jnp.sum(grad.reshape(grad.shape[0], -1) ** 2, axis=1))
+    # reference: gradients.norm(2, dim=1) — the PER-PIXEL channel-dim norm
+    # (SR/srloss.py:356), not a per-sample flattened norm; NHWC here, so
+    # the channel axis is last
+    norm = jnp.sqrt(jnp.sum(grad ** 2, axis=-1))
     loss = jnp.mean((norm - 1.0) ** 2)
     if weight is not None:
         loss = loss / jnp.mean(weight)

@@ -53,12 +53,50 @@ def ssim_loss(x, y, data_range: float = 255.0, nonnegative: bool = False):
     return 1.0 - ssim(x, y, data_range, nonnegative).mean()
 
 
-def log_ssim_loss(x, y, data_range: float = 255.0, win_size: int = 11,
+def _filter_same(x, window):
+    """Depthwise conv with torch ``F.conv2d(padding=k//2)`` semantics
+    (ZERO padding) — the border rule of losses_pytorch/ssim_loss.py."""
+    c = x.shape[-1]
+    k = window.shape[0]
+    w = jnp.tile(jnp.asarray(window, x.dtype).reshape(k, k, 1, 1),
+                 (1, 1, 1, c))
+    return lax.conv_general_dilated(
+        x, w, window_strides=(1, 1),
+        padding=((k // 2, k // 2), (k // 2, k // 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def _ssim_map_same(x, y, data_range: float = 1.0, win_size: int = 11,
+                   win_sigma: float = 1.5, k=(0.01, 0.03)):
+    """SSIM map with the ssim_loss.py border/constant conventions: zero-pad
+    SAME filtering and C1/C2 on the given scale (the reference hardcodes
+    the [0,1] constants, ssim_loss.py:79-80)."""
+    c1 = (k[0] * data_range) ** 2
+    c2 = (k[1] * data_range) ** 2
+    window = _window(win_size, win_sigma)
+    mu1, mu2 = _filter_same(x, window), _filter_same(y, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _filter_same(x * x, window) - mu1_sq
+    s2 = _filter_same(y * y, window) - mu2_sq
+    s12 = _filter_same(x * y, window) - mu1_mu2
+    return ((2 * mu1_mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
+
+
+def ssim_same(x, y, data_range: float = 1.0, win_size: int = 11,
+              win_sigma: float = 1.5):
+    """Mean SSIM with ssim_loss.py's SSIM conventions (SAME zero-padding,
+    [0,1]-scale constants) — the variant myloss.py's composites consume."""
+    return _ssim_map_same(x, y, data_range, win_size, win_sigma).mean()
+
+
+def log_ssim_loss(x, y, data_range: float = 1.0, win_size: int = 11,
                   win_sigma: float = 1.5):
-    """LOGSSIM (losses_pytorch/ssim_loss.py:68-117): min-max-normalise the
-    SSIM map to [0, 1] over the whole batch, then mean ``-log(map + 1e-8)``
-    — penalises the worst-structured regions far harder than ``1 - SSIM``."""
-    smap, _ = _ssim_maps(x, y, data_range, win_size, win_sigma)
+    """LOGSSIM (losses_pytorch/ssim_loss.py:68-117): SAME-padded SSIM map
+    with [0,1]-scale constants, min-max-normalised over the whole batch,
+    then mean ``-log(map + 1e-8)`` — penalises the worst-structured
+    regions far harder than ``1 - SSIM``."""
+    smap = _ssim_map_same(x, y, data_range, win_size, win_sigma)
     smap = (smap - smap.min()) / (smap.max() - smap.min())
     return jnp.mean(-jnp.log(smap + 1e-8))
 

@@ -27,11 +27,20 @@ _build_failed = False
 def _build() -> Optional[str]:
     if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
-    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB, "-lz"]
+    # compile to a per-pid temp name and os.replace into place: concurrent
+    # fresh processes (loader workers, the dryrun re-exec) must never dlopen
+    # a half-written .so
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp, "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return _LIB
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -48,7 +57,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if path is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            # corrupt/incompatible .so: behave like a missing toolchain so
+            # callers take the documented pure-Python fallback
+            _build_failed = True
+            return None
         u8 = ctypes.POINTER(ctypes.c_uint8)
         lib.packbits_decode.restype = ctypes.c_long
         lib.packbits_decode.argtypes = [u8, ctypes.c_long, u8, ctypes.c_long]
@@ -88,6 +103,8 @@ def packbits_decode(data: bytes, expected: int) -> Optional[bytes]:
     n = lib.packbits_decode(_u8ptr(src), len(src), _u8ptr(dst), expected)
     if n < 0:
         return None
+    if n < expected:  # truncated chunk: zero-fill like the Python path
+        dst[n:] = 0   # (np.empty tail would be uninitialised heap memory)
     return dst[:expected].tobytes()
 
 
@@ -101,6 +118,8 @@ def lzw_decode(data: bytes, expected: int) -> Optional[bytes]:
     n = lib.lzw_decode(_u8ptr(src), len(src), _u8ptr(dst), expected)
     if n < 0:
         return None
+    if n < expected:  # truncated chunk: zero-fill like the Python path
+        dst[n:] = 0
     return dst[:expected].tobytes()
 
 

@@ -431,8 +431,9 @@ def raster_crs(reader: TiffReader):
     from srbh_tpu.data import crs as _crs
 
     info = reader.info()
-    code = _crs.epsg_from_geokeys(info.geo_keys or b"",
-                                  getattr(reader, "_e", "<"))
+    # info() normalises geo payloads to little-endian regardless of the
+    # file's byte order
+    code = _crs.epsg_from_geokeys(info.geo_keys or b"")
     return _crs.from_epsg(code) if code else None
 
 
@@ -481,8 +482,7 @@ def main_proc_product(product_tifs: Sequence[str], query_shps: Sequence[str],
     codes = []
     for f in files:
         r = TiffReader(f)
-        codes.append(_crs.epsg_from_geokeys(r.info().geo_keys or b"",
-                                            getattr(r, "_e", "<")))
+        codes.append(_crs.epsg_from_geokeys(r.info().geo_keys or b""))
     distinct = {c for c in codes if c}
     if common_epsg is None and len(distinct) == 1:
         common_epsg = distinct.pop()

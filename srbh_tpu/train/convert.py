@@ -357,22 +357,33 @@ def load_torch_tar(path: str, key: Optional[str] = None) -> Mapping:
 # npz tree round-trip + CLI
 # ---------------------------------------------------------------------------
 
+# path separator for the flat npz keys. NOT '/': flax SpectralNorm stores
+# stats under leaf names that themselves contain '/' (e.g.
+# 'conv1/kernel/sigma'), which a '/' join+split would silently re-nest.
+_NPZ_SEP = "\x1f"
+
+
 def save_tree_npz(path: str, tree: Mapping) -> None:
-    """Save a nested variables tree as a flat ``.npz`` ('/'-joined keys) —
-    a framework-agnostic interchange file (no orbax/torch needed to read)."""
+    """Save a nested variables tree as a flat ``.npz`` — a
+    framework-agnostic interchange file (no orbax/torch needed to read).
+    Keys are joined with the unit separator ``\\x1f`` (cannot occur in
+    flax module/param names, unlike '/')."""
     from flax.traverse_util import flatten_dict
 
-    flat = {"/".join(k): np.asarray(v)
+    flat = {_NPZ_SEP.join(k): np.asarray(v)
             for k, v in flatten_dict(tree).items()}
     np.savez(path, **flat)
 
 
 def load_tree_npz(path: str) -> dict:
-    """Inverse of :func:`save_tree_npz`."""
+    """Inverse of :func:`save_tree_npz`. Files written by older versions
+    ('/'-joined) load too, with the caveat that '/'-containing leaf names
+    (SpectralNorm sigma state) come back re-nested in those."""
     from flax.traverse_util import unflatten_dict
 
     with np.load(path) as z:
-        return unflatten_dict({tuple(k.split("/")): z[k] for k in z.files})
+        sep = _NPZ_SEP if any(_NPZ_SEP in k for k in z.files) else "/"
+        return unflatten_dict({tuple(k.split(sep)): z[k] for k in z.files})
 
 
 _WRAPPER_KEYS = ("state_dict", "net_g_ema", "params_ema", "params", "net_g")

@@ -111,7 +111,9 @@ class TestSRLosses:
 
     def test_charbonnier_and_tv(self):
         x = jnp.ones((1, 4, 4, 1))
-        assert float(srl.charbonnier_loss(x, x)) == pytest.approx(1e-6, rel=1e-3)
+        # reference default eps=1e-9 (SR/srloss.py:282) -> floor sqrt(1e-9)
+        assert float(srl.charbonnier_loss(x, x)) == pytest.approx(
+            31.6228e-6, rel=1e-3)
         assert float(srl.tv_loss(x)) == 0.0
         ramp = jnp.arange(16.0).reshape(1, 4, 4, 1)
         assert float(srl.tv_loss(ramp)) > 0
@@ -125,11 +127,20 @@ class TestSRLosses:
     def test_gradient_penalty(self):
         real = jnp.zeros((2, 4, 4, 1))
         fake = jnp.ones((2, 4, 4, 1))
-        # D with unit-norm gradient -> zero penalty
+        # reference semantics (SR/srloss.py:356): PER-PIXEL channel-dim
+        # norm. D = sum(x) has gradient 1 per pixel -> per-pixel norm 1 over
+        # the single channel -> zero penalty.
         p = float(srl.gradient_penalty_loss(
-            lambda x: jnp.sum(x, axis=(1, 2, 3)) / 4.0, real, fake,
+            lambda x: jnp.sum(x, axis=(1, 2, 3)), real, fake,
             jax.random.PRNGKey(0)))
         assert p == pytest.approx(0.0, abs=1e-6)
+        # 4 channels of gradient g: per-pixel norm = 2g -> (2g-1)^2
+        g = 0.75
+        p4 = float(srl.gradient_penalty_loss(
+            lambda x: g * jnp.sum(x, axis=(1, 2, 3)),
+            jnp.zeros((2, 4, 4, 4)), jnp.ones((2, 4, 4, 4)),
+            jax.random.PRNGKey(0)))
+        assert p4 == pytest.approx((2 * g - 1.0) ** 2, rel=1e-5)
 
 
 class TestUSM:
