@@ -86,10 +86,12 @@ def write_fishgrid(tif_path: str, window_size: int = 64, offset: int = 56,
     r = TiffReader(tif_path)
     cells = fishgrid_cells(r.width, r.height, r.geotransform,
                            window_size, offset)
-    if prj_wkt is None and (r.info().geo_keys or b""):
+    geo_keys = r.info().geo_keys or b""
+    r.close()
+    if prj_wkt is None and geo_keys:
         from srbh_tpu.data.crs import epsg_from_geokeys, wkt_for_epsg
 
-        code = epsg_from_geokeys(r.info().geo_keys)
+        code = epsg_from_geokeys(geo_keys)
         if code is not None:
             try:
                 prj_wkt = wkt_for_epsg(code)
@@ -145,6 +147,7 @@ def write_fishgrid_tif(tif_path: str, window_size: int = 256,
     xmin, ymax = gt[0], gt[3]
     xmax = xmin + gt[1] * r.width
     ymin = ymax + gt[5] * r.height
+    r.close()
     grid_size = float(int(window_size * gt[1]))
     return write_fishgrid_bounds(tif_path[:-4] + "_grid.shp",
                                  xmin, xmax, ymin, ymax,
@@ -176,6 +179,7 @@ def fishgrid_stats(tif_file: str, shp_file: str,
         sums.append(s)
         counts.append(c)
         valids.append(1 if (s >= condition[1] and c >= condition[2]) else 0)
+    r.close()
     # in-place DBF update: preserves every pre-existing attribute column
     # (vrt_sum/absdiff/isv2/... from compare_grid_products) like the
     # reference's OGR field updates (demo_preprocess_height_v2.py:1148-1153)
@@ -183,7 +187,8 @@ def fishgrid_stats(tif_file: str, shp_file: str,
 
     fields = [(fieldname[0], "N", 19, 0), (fieldname[1], "N", 19, 0),
               (fieldname[2], "N", 19, 0)]
-    return update_dbf_fields(shp_file, fields, [sums, counts, valids])
+    return update_dbf_fields(shp_file, fields, [sums, counts, valids],
+                             records=records)
 
 
 def count_fishgrid_valid(shp_file: str, fieldname: str = "isv") -> int:

@@ -45,6 +45,11 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self.shard_index, self.num_shards = shard_index, num_shards
+        if prefetch < 1:
+            # queue.Queue(maxsize=0) would mean UNBOUNDED prefetch — the
+            # producer would decode (and with device_put, upload) the whole
+            # epoch ahead of the consumer
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
         self.prefetch = prefetch
         self.device_put = device_put
         self.sharding = sharding

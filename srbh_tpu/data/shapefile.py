@@ -229,33 +229,46 @@ def write_shapefile(
             f.write(prj_wkt)
 
 
-def update_dbf_fields(path: str, new_fields, values_per_record):
+def update_dbf_fields(path: str, new_fields, values_per_record,
+                      records=None):
     """Append/overwrite DBF attribute columns (the Fishgrid_stats pattern,
     demo_preprocess_height_v2.py:1143-1186): rewrite the shapefile with the
-    merged attribute table."""
-    records = read_shapefile(path)
+    merged attribute table. Pass ``records`` (from a prior
+    :func:`read_shapefile` of the same file) to skip the re-parse."""
+    if records is None:
+        records = read_shapefile(path)
     for i, rec in enumerate(records):
         for j, (name, *_spec) in enumerate(new_fields):
             rec.attributes[name] = values_per_record[j][i]
     # preserve existing fields + add new ones. The caller's explicit
     # (type, width, decimals) specs take precedence; inference from values
-    # scans ALL records (a None/int first value must not silently truncate
-    # later floats in that column to integer strings).
+    # scans ALL records with str > float > int/None priority (a mixed
+    # column like [1.5, 'n/a'] must become text, not crash float('n/a')
+    # in write_shapefile; [None, 2, 3.5] must stay numeric with decimals).
     existing: Dict[str, Tuple[str, str, int, int]] = {}
     for spec in new_fields:
         existing[spec[0]] = tuple(spec)
+    seen_str: Dict[str, int] = {}
+    seen_float: set = set()
+    order: List[str] = []
     for rec in records:
         for k, v in rec.attributes.items():
             if k in existing:
                 continue
-            if isinstance(v, float):
-                existing[k] = (k, "N", 19, 6)
-            elif isinstance(v, str):
-                existing[k] = (k, "C", 32, 0)
-    for rec in records:  # int/None-only columns (no float seen anywhere)
-        for k, v in rec.attributes.items():
-            if k not in existing:
-                existing[k] = (k, "N", 19, 0)
+            if k not in seen_str and k not in order:
+                order.append(k)
+            if isinstance(v, str):
+                seen_str[k] = max(seen_str.get(k, 0), len(v))
+            elif isinstance(v, float):
+                seen_float.add(k)
+    for k in order:
+        if k in seen_str:
+            width = min(254, max(32, seen_str[k]))
+            existing[k] = (k, "C", width, 0)
+        elif k in seen_float:
+            existing[k] = (k, "N", 19, 6)
+        else:
+            existing[k] = (k, "N", 19, 0)
     prj = None
     base = path[:-4]
     if os.path.exists(base + ".prj"):

@@ -18,8 +18,10 @@ import numpy as np
 
 def load_stats_table(path: str, nchans: Optional[int] = None) -> np.ndarray:
     """Load a 2xC whitespace-separated stats table (see datasetglobe/*.txt)."""
-    table = np.loadtxt(path)
-    table = np.atleast_2d(table)
+    # ndmin=2 preserves the row/column structure: a 1-band table (two
+    # lines of one value) must load as (2, 1), which np.atleast_2d on the
+    # collapsed 1-D result would have turned into (1, 2)
+    table = np.loadtxt(path, ndmin=2)
     if nchans is not None:
         table = table[:, :nchans]
     return table

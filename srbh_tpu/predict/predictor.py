@@ -130,10 +130,15 @@ def predict_city(
     height, build_cls, weight = acc.finalize()
     nres = dataset.geotrans[1] / upscale
     os.makedirs(respath, exist_ok=True)
-    array2raster_rio(build_tif, build_cls, dataset.s2path,
+    # atomic artifact commits: the resume check above keys on existence, so
+    # a kill mid-write must never leave a truncated raster at the final
+    # path (it would be skipped — i.e. shipped — on every later resume)
+    array2raster_rio(build_tif + ".tmp", build_cls, dataset.s2path,
                      nresolution=nres, iscmap=True)
-    array2raster(height_tif, height, dataset.s2path, nresolution=nres,
-                 compress="DEFLATE")
+    array2raster(height_tif + ".tmp", height, dataset.s2path,
+                 nresolution=nres, compress="DEFLATE")
+    os.replace(build_tif + ".tmp", build_tif)
+    os.replace(height_tif + ".tmp", height_tif)
     return build_tif, height_tif
 
 

@@ -36,9 +36,14 @@ def commit_payload(path: str, payload: dict) -> None:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     _ckptr().save(tmp, payload)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    # Park the live dir only when one exists; in the crash-recovery state
+    # (path absent, .old live) .old must survive untouched until the new
+    # checkpoint is renamed into place — deleting it first would leave a
+    # window with NO loadable checkpoint if we crash again before the
+    # final os.replace.
     if os.path.exists(path):
+        if os.path.exists(old):
+            shutil.rmtree(old)
         os.replace(path, old)
     os.replace(tmp, path)
     if os.path.exists(old):

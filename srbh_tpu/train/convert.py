@@ -361,6 +361,11 @@ def load_torch_tar(path: str, key: Optional[str] = None) -> Mapping:
 # stats under leaf names that themselves contain '/' (e.g.
 # 'conv1/kernel/sigma'), which a '/' join+split would silently re-nest.
 _NPZ_SEP = "\x1f"
+# format marker: new-format files always carry this key, so the loader
+# never has to guess the separator from key contents (a flat tree whose
+# only keys contain no \x1f would otherwise be mistaken for legacy
+# '/'-joined and have '/'-bearing leaf names re-nested)
+_NPZ_MARKER = "__srbh-npz-sep-1f__"
 
 
 def save_tree_npz(path: str, tree: Mapping) -> None:
@@ -372,18 +377,23 @@ def save_tree_npz(path: str, tree: Mapping) -> None:
 
     flat = {_NPZ_SEP.join(k): np.asarray(v)
             for k, v in flatten_dict(tree).items()}
+    flat[_NPZ_MARKER] = np.zeros(0, np.uint8)
     np.savez(path, **flat)
 
 
 def load_tree_npz(path: str) -> dict:
     """Inverse of :func:`save_tree_npz`. Files written by older versions
-    ('/'-joined) load too, with the caveat that '/'-containing leaf names
-    (SpectralNorm sigma state) come back re-nested in those."""
+    ('/'-joined, no marker key) load too, with the caveat that
+    '/'-containing leaf names (SpectralNorm sigma state) come back
+    re-nested in those."""
     from flax.traverse_util import unflatten_dict
 
     with np.load(path) as z:
-        sep = _NPZ_SEP if any(_NPZ_SEP in k for k in z.files) else "/"
-        return unflatten_dict({tuple(k.split(sep)): z[k] for k in z.files})
+        keys = [k for k in z.files if k != _NPZ_MARKER]
+        new_format = (_NPZ_MARKER in z.files
+                      or any(_NPZ_SEP in k for k in keys))
+        sep = _NPZ_SEP if new_format else "/"
+        return unflatten_dict({tuple(k.split(sep)): z[k] for k in keys})
 
 
 _WRAPPER_KEYS = ("state_dict", "net_g_ema", "params_ema", "params", "net_g")

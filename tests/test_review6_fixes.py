@@ -166,6 +166,12 @@ class TestPerSampleAugRNG:
             names.append(name)
         lst = tmp_path / "list.csv"
         lst.write_text("\n".join(names) + "\n")
+        # stats tables are mandatory now (missing ones raise, matching the
+        # reference's np.loadtxt failure — review 11 normalisation parity)
+        np.savetxt(tmp_path / "s2_minmax.txt",
+                   np.stack([np.zeros(3), np.full(3, 255.0)]))
+        np.savetxt(tmp_path / "s1_minmax.txt",
+                   np.stack([np.zeros(1), np.full(1, 255.0)]))
         return S12GlobeDataset(str(lst), str(root), datastats=str(tmp_path),
                                aug=True, nchans=3, seed=seed)
 
