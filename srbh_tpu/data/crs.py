@@ -201,6 +201,21 @@ def from_wkt(wkt: str):
     if pm and abs(float(pm.group(1))) > 1e-9:
         raise ValueError(f"unsupported prime meridian {pm.group(1)} "
                          "(only Greenwich)")
+    # a non-WGS84 datum (e.g. Beijing 1954 on Krassowsky) or a nonzero
+    # TOWGS84 shift would parse "successfully" here and then transform()
+    # would relabel its coordinates as WGS84 — a silent ~100 m error
+    dm = re.search(r'DATUM\s*\[\s*"([^"]*)"', wkt)
+    if dm:
+        dname = re.sub(r"[^a-z0-9]", "", dm.group(1).lower())
+        if "wgs1984" not in dname and "wgs84" not in dname:
+            raise ValueError(
+                f"unsupported datum {dm.group(1)!r} (only WGS84-family) — "
+                "reproject the raster first")
+    tw = re.search(r"TOWGS84\s*\[([^\]]*)\]", wkt)
+    if tw and any(abs(float(v)) > 1e-9 for v in tw.group(1).split(",") if
+                  v.strip()):
+        raise ValueError("unsupported nonzero TOWGS84 datum shift — "
+                         "reproject the raster first")
     is_projected = "PROJCS" in wkt.upper()
     # the LAST top-level UNIT clause governs the CRS's coordinate unit
     # (earlier ones inside GEOGCS of a PROJCS are the angular unit)
@@ -257,6 +272,11 @@ def epsg_from_geokeys(geo_keys: bytes, endian: str = "<") -> Optional[int]:
     for i in range(min(nkeys, (len(vals) - 4) // 4)):
         kid, loc, _cnt, val = vals[4 + 4 * i: 8 + 4 * i]
         if loc != 0:
+            continue
+        if val in (0, 32767):
+            # 32767 is the GeoTIFF "user-defined" sentinel, not an EPSG
+            # code (GeoTIFF spec §6.3.1.1); returning it would send
+            # callers into from_epsg(32767)
             continue
         if kid == 3072:
             return int(val)

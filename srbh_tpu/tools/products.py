@@ -60,6 +60,17 @@ from srbh_tpu.data.shapefile import read_shapefile, update_dbf_fields
 from srbh_tpu.data.tiff import TiffReader, write_tiff
 
 
+def _valid_mask(arr: np.ndarray, nodata) -> np.ndarray:
+    """Pixels carrying data: not ``nodata`` and not NaN. CNBH-style float
+    products use NaN fill; ``arr != nodata`` alone would treat a NaN collar
+    as data and punch holes into earlier rasters. ``arr == arr`` is the
+    dtype-safe NaN test (all-True for integer arrays)."""
+    finite = arr == arr
+    if nodata != nodata:  # nodata itself is NaN
+        return finite
+    return finite & (arr != nodata)
+
+
 class VirtualMosaic:
     """A lazy union of same-CRS rasters, read through windows.
 
@@ -104,7 +115,7 @@ class VirtualMosaic:
             # raster's valid pixels win, but its nodata collar must not
             # punch holes into earlier rasters' data.
             dst = out[np.ix_(oky, okx)]
-            valid = sub != self.nodata
+            valid = _valid_mask(sub, self.nodata)
             dst[valid] = sub[valid]
             out[np.ix_(oky, okx)] = dst
         return out
@@ -129,7 +140,7 @@ class VirtualMosaic:
             tile = r.read((x0, y0, x1 - x0 + 1, y1 - y0 + 1))[..., self.band]
             vals = tile[py[ok] - y0, px[ok] - x0].astype(dtype)
             cur = out[ok]
-            valid = vals != self.nodata
+            valid = _valid_mask(vals, self.nodata)
             cur[valid] = vals[valid]
             out[ok] = cur
         return out
@@ -345,8 +356,8 @@ def count_valid_samples(shp_files: Sequence[str], out_csv: Optional[str] = None,
 
 
 def compare_height_products(city_pairs: Dict[str, Tuple[str, str]],
-                            out_csv: str, threshold: float = 0.0,
-                            resolution: Optional[float] = None) -> List[dict]:
+                            out_csv: str,
+                            threshold: float = 0.0) -> List[dict]:
     """Per-city product sweep: IoU of the building masks + RMSE/MAE/ME of
     heights over the mask union, one CSV row per city plus an ``all`` row.
 
@@ -485,7 +496,14 @@ def main_proc_product(product_tifs: Sequence[str], query_shps: Sequence[str],
         codes.append(_crs.epsg_from_geokeys(r.info().geo_keys or b""))
     distinct = {c for c in codes if c}
     if common_epsg is None and len(distinct) == 1:
-        common_epsg = distinct.pop()
+        common_epsg = next(iter(distinct))
+    if common_epsg is None and len(distinct) > 1:
+        # fail loudly: mosaicking tiles whose geotransforms live in
+        # different coordinate systems silently mis-locates every city
+        # product (same contract as crs.from_wkt's guards)
+        raise ValueError(
+            f"product tiles span multiple CRSes {sorted(distinct)}; pass "
+            "common_epsg to pick the warp target")
     # tiles without GeoKeys (code None) are assumed to already be in the
     # common frame — warping them is impossible and pre-CRS behaviour kept
     # them as-is

@@ -1,9 +1,11 @@
 """Learning-rate schedules.
 
 ``step_decay_lr`` mirrors train.py:68-81: full LR through epoch 10, x0.1
-through epoch 20, x0.01 after — applied per epoch, with the ``lossweight``
-(log_var) param group pinned at 1e-3 (handled by the optimizer partition in
-``srbh_tpu.train.state``, not here).
+through epoch 20, x0.01 after — applied per epoch to BOTH param groups.
+The reference's lossweight-skip condition (``'lossweight' in param_group``
+tests dict keys) never fires, so its log_var group follows the same
+schedule — verified by executing the torch path; see
+``srbh_tpu.train.state:set_learning_rate`` and the 3-step train oracle.
 """
 from __future__ import annotations
 

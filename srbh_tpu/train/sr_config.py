@@ -72,7 +72,11 @@ def trainer_from_yml(path: str, dtype=None, **overrides):
     """Build a :class:`RealESRGANTrainer` from a BasicSR finetune YAML."""
     from srbh_tpu.train.sr_trainer import RealESRGANTrainer
 
-    kwargs = load_finetune_yml(path)["trainer"]
+    cfg = load_finetune_yml(path)
+    kwargs = cfg["trainer"]
+    kwargs.update({"l1_gt_usm": cfg["usm"]["l1"],
+                   "percep_gt_usm": cfg["usm"]["percep"],
+                   "gan_gt_usm": cfg["usm"]["gan"]})
     kwargs.update(overrides)
     if dtype is not None:
         kwargs["dtype"] = dtype

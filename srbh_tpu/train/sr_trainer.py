@@ -87,7 +87,9 @@ class RealESRGANTrainer:
                  gan_weight: float = 0.1, perceptual: bool = True,
                  disc_feat: int = 64, dtype=jnp.float32,
                  milestones=(400000,), gamma: float = 0.5,
-                 warmup_iter: int = -1, remat: bool = False):
+                 warmup_iter: int = -1, remat: bool = False,
+                 l1_gt_usm: bool = True, percep_gt_usm: bool = True,
+                 gan_gt_usm: bool = False):
         # remat=True checkpoints each RRDB in the generator's backward —
         # the HBM knob for large-batch GAN finetunes (SURVEY hard part #2)
         self.net_g = RRDBNet(num_out_ch=out_ch, scale=scale,
@@ -100,6 +102,11 @@ class RealESRGANTrainer:
         self.vgg_variables = None  # set by init(); make_step requires it
         self.ema_decay = ema_decay
         self.gan_weight = gan_weight
+        # per-loss USM-GT switches (finetune_realesrgan_x4plus_pairdata.yml
+        # :9-11; BasicSR picks l1/percep/gan GT independently)
+        self.l1_gt_usm = l1_gt_usm
+        self.percep_gt_usm = percep_gt_usm
+        self.gan_gt_usm = gan_gt_usm
         self.schedule = multistep_lr(lr, milestones, gamma=gamma,
                                      warmup_iter=warmup_iter)
         self.lr = lr
@@ -145,19 +152,24 @@ class RealESRGANTrainer:
                 "it) before building the step")
         vgg_vars = self.vgg_variables
         gan_w, ema_decay = self.gan_weight, self.ema_decay
+        l1_usm, percep_usm, gan_usm = (self.l1_gt_usm, self.percep_gt_usm,
+                                       self.gan_gt_usm)
 
         def step(state: GANTrainState, lq, gt):
-            gt_usm = usm_sharp(gt)
+            gt_usm = usm_sharp(gt) if (l1_usm or percep_usm or gan_usm) else gt
+            l1_gt = gt_usm if l1_usm else gt
+            percep_gt = gt_usm if percep_usm else gt
+            gan_gt = gt_usm if gan_usm else gt
 
             d_stats = state.d_vars.get("batch_stats", {})
 
             def g_loss_fn(g_params):
                 output = net_g.apply({"params": g_params}, lq)
-                l_pix = l1_loss(output, gt_usm)
+                l_pix = l1_loss(output, l1_gt)
                 l_percep = 0.0
                 if vgg is not None:
                     fx = vgg.apply(vgg_vars, output)
-                    fgt = vgg.apply(vgg_vars, gt_usm)
+                    fgt = vgg.apply(vgg_vars, percep_gt)
                     l_percep = perceptual_loss(fx, fgt)
                 # D frozen for the G step (rrdbnet_arch.py:545-549)
                 fake_pred = net_d.apply(
@@ -177,7 +189,7 @@ class RealESRGANTrainer:
 
             def d_loss_fn(d_params):
                 variables = {"params": d_params, "batch_stats": d_stats}
-                real_pred, mut = net_d.apply(variables, gt, train=True,
+                real_pred, mut = net_d.apply(variables, gan_gt, train=True,
                                              mutable=["batch_stats"])
                 l_real = gan_loss(real_pred, True, "vanilla", is_disc=True)
                 fake_pred, mut = net_d.apply(
