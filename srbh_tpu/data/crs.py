@@ -201,24 +201,11 @@ def from_wkt(wkt: str):
     if pm and abs(float(pm.group(1))) > 1e-9:
         raise ValueError(f"unsupported prime meridian {pm.group(1)} "
                          "(only Greenwich)")
-    # a non-WGS84 datum (e.g. Beijing 1954 on Krassowsky) or a nonzero
-    # TOWGS84 shift would parse "successfully" here and then transform()
-    # would relabel its coordinates as WGS84 — a silent ~100 m error
-    dm = re.search(r'DATUM\s*\[\s*"([^"]*)"', wkt)
-    if dm:
-        dname = re.sub(r"[^a-z0-9]", "", dm.group(1).lower())
-        if "wgs1984" not in dname and "wgs84" not in dname:
-            raise ValueError(
-                f"unsupported datum {dm.group(1)!r} (only WGS84-family) — "
-                "reproject the raster first")
-    tw = re.search(r"TOWGS84\s*\[([^\]]*)\]", wkt)
-    if tw and any(abs(float(v)) > 1e-9 for v in tw.group(1).split(",") if
-                  v.strip()):
-        raise ValueError("unsupported nonzero TOWGS84 datum shift — "
-                         "reproject the raster first")
     is_projected = "PROJCS" in wkt.upper()
     # the LAST top-level UNIT clause governs the CRS's coordinate unit
-    # (earlier ones inside GEOGCS of a PROJCS are the angular unit)
+    # (earlier ones inside GEOGCS of a PROJCS are the angular unit).
+    # Checked BEFORE the datum guard: a feet-unit WKT is wrong regardless
+    # of its datum name, and the unit error is the actionable one.
     units = re.findall(r'UNIT\s*\[\s*"[^"]*"\s*,\s*([-0-9.eE+]+)', wkt)
     if units:
         u = float(units[-1])
@@ -228,6 +215,25 @@ def from_wkt(wkt: str):
             raise ValueError(
                 f"unsupported UNIT factor {u} (only {kind}-based CRS; "
                 "got e.g. feet?) — reproject the raster first")
+    # a non-WGS84 datum (e.g. Beijing 1954 on Krassowsky) or a nonzero
+    # TOWGS84 shift would parse "successfully" here and then transform()
+    # would relabel its coordinates as WGS84 — a silent ~100 m error.
+    # Accepted spellings: "WGS_1984"/"WGS 84" (wgs1984/wgs84), GDAL's
+    # "D_WGS_1984" (dwgs1984, contains wgs1984), and WKT2's spelled-out
+    # "World Geodetic System 1984".
+    dm = re.search(r'DATUM\s*\[\s*"([^"]*)"', wkt)
+    if dm:
+        dname = re.sub(r"[^a-z0-9]", "", dm.group(1).lower())
+        if not any(t in dname for t in
+                   ("wgs1984", "wgs84", "worldgeodeticsystem1984")):
+            raise ValueError(
+                f"unsupported datum {dm.group(1)!r} (only WGS84-family) — "
+                "reproject the raster first")
+    tw = re.search(r"TOWGS84\s*\[([^\]]*)\]", wkt)
+    if tw and any(abs(float(v)) > 1e-9 for v in tw.group(1).split(",") if
+                  v.strip()):
+        raise ValueError("unsupported nonzero TOWGS84 datum shift — "
+                         "reproject the raster first")
     if not is_projected:
         return Geographic(a, f)
     params = {k.lower(): float(v) for k, v in _PARAM_RE.findall(wkt)}

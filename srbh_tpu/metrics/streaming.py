@@ -102,27 +102,34 @@ class SegmentationMetric:
     def _np(self):
         return self.cm
 
+    # 0/0 on empty classes yields nan — same semantics as the reference's
+    # torch divides (metrics.py:20-29), but without numpy's RuntimeWarning
     def overall_accuracy(self):
         cm = self._np()
-        return np.diag(cm).sum() / cm.sum()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.diag(cm).sum() / cm.sum()
 
     def precision(self):  # UA (metrics.py:20-24)
         cm = self._np()
-        return np.diag(cm) / cm.sum(axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.diag(cm) / cm.sum(axis=0)
 
     def recall(self):  # PA (metrics.py:26-29)
         cm = self._np()
-        return np.diag(cm) / cm.sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.diag(cm) / cm.sum(axis=1)
 
     def f1(self):
         p, r = self.precision(), self.recall()
-        return 2 * p * r / (p + r)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return 2 * p * r / (p + r)
 
     def iou(self):
         cm = self._np()
         inter = np.diag(cm)
         union = cm.sum(axis=1) + cm.sum(axis=0) - inter
-        return inter / union
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return inter / union
 
     def miou(self):
         return np.mean(self.iou())

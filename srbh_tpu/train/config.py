@@ -38,6 +38,12 @@ class TrainConfig:
     batch_size: int = 16
     num_workers: int = 8
     encoder_name: str = "efficientnet-b4"
+    # ImageNet-pretrained encoder start (the reference always trains from
+    # encoder_weights="imagenet", mymodels.py:234,242-243): path to an
+    # encoder npz produced offline by `python -m srbh_tpu.train.convert
+    # effnet-b4.pth enc.npz --arch imagenet-encoder`. None = random encoder
+    # (a loud warning is printed — accuracy goldens assume pretrained).
+    encoder_weights: Optional[str] = None
     # "feature" = the proposed SRRegressClsFeature; "nosuper" = the no-SR
     # ablation (mymodels.py:341-409, train.py commented experiment variants)
     model_variant: str = "feature"

@@ -288,11 +288,61 @@ def load_imagenet_encoder(variables: Mapping, sd: Mapping,
     variables, adapting the stem to the model's input channel count."""
     in_ch = variables["params"]["encoder"]["stem_conv"]["kernel"].shape[2]
     enc = convert_efficientnet_imagenet(sd, encoder_name, in_channels=in_ch)
+    return _graft_encoder_tree(variables, enc)
+
+
+def _widen_stem(kernel: np.ndarray, in_channels: int) -> np.ndarray:
+    """smp ``patch_first_conv`` policy (utils.py in smp; used via
+    mymodels.py:242-243): cycle the pretrained input-channel kernels and
+    rescale by old/new so activations keep their pretrained magnitude."""
+    old = kernel.shape[2]
+    reps = [kernel[:, :, i % old: i % old + 1, :] for i in range(in_channels)]
+    return np.concatenate(reps, axis=2) * (old / in_channels)
+
+
+def _graft_encoder_tree(variables: Mapping, enc: Mapping) -> dict:
     params = dict(variables["params"])
     stats = dict(variables.get("batch_stats", {}))
     params["encoder"] = enc["params"]
     stats["encoder"] = enc["batch_stats"]
     return {"params": params, "batch_stats": stats}
+
+
+def graft_encoder_npz(variables: Mapping, path: str) -> dict:
+    """Graft a converted ImageNet-encoder ``.npz`` (written by
+    ``python -m srbh_tpu.train.convert effnet.pth enc.npz --arch
+    imagenet-encoder``) into freshly-initialised height-model variables —
+    the runtime half of the reference's ``encoder_weights="imagenet"``
+    start (mymodels.py:234,242-243 via smp ``get_encoder``).
+
+    The npz may carry a 3-channel stem (raw ImageNet) or be pre-widened;
+    a mismatched stem is widened here with smp's patch_first_conv policy.
+    Any other shape mismatch fails loudly — it means the npz was converted
+    for a different ``encoder_name``.
+    """
+    import jax
+
+    enc = load_tree_npz(path)
+    if "params" not in enc or "batch_stats" not in enc:
+        raise ValueError(
+            f"{path} is not an encoder npz (expected params/batch_stats "
+            "top-level keys; convert with --arch imagenet-encoder)")
+    enc = dict(enc)
+    enc["params"] = dict(enc["params"])
+    want = variables["params"]["encoder"]
+    stem = np.asarray(enc["params"]["stem_conv"]["kernel"])
+    want_in = want["stem_conv"]["kernel"].shape[2]
+    if stem.shape[2] != want_in:
+        enc["params"]["stem_conv"] = {
+            "kernel": _widen_stem(stem, want_in)}
+    ref_shapes = jax.tree_util.tree_map(lambda a: tuple(a.shape), want)
+    got_shapes = jax.tree_util.tree_map(
+        lambda a: tuple(np.asarray(a).shape), enc["params"])
+    if ref_shapes != got_shapes:
+        raise ValueError(
+            f"encoder npz {path} does not match the model's encoder "
+            "architecture (wrong --encoder-name at conversion time?)")
+    return _graft_encoder_tree(variables, enc)
 
 
 def convert_height_model(sd: Mapping, isaggre: bool = True,

@@ -153,6 +153,20 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         sr_params, loaded = load_sr_params(cfg, sr_params)
         if not loaded:
             print("=> no SR checkpoint found; using random frozen features")
+    # pretrained-encoder start: the reference ALWAYS trains from an
+    # ImageNet B4 (mymodels.py:234,242-243 encoder_weights="imagenet");
+    # its 20-epoch budget and accuracy goldens assume it
+    if getattr(cfg, "encoder_weights", None):
+        from srbh_tpu.train.convert import graft_encoder_npz
+
+        variables = graft_encoder_npz(variables, cfg.encoder_weights)
+        print(f"=> encoder initialised from {cfg.encoder_weights}")
+    else:
+        print("WARNING: training starts from a RANDOM encoder — the "
+              "reference always uses ImageNet weights (mymodels.py:242). "
+              "Convert them offline with `python -m srbh_tpu.train.convert "
+              "effnet-b4.pth enc.npz --arch imagenet-encoder` and pass "
+              "--encoder_weights enc.npz.")
 
     state = TrainState.create(variables,
                               n_log_vars=3 if cfg.isaggre else 2,

@@ -371,6 +371,83 @@ class TestImageNetEncoderConverter:
             ) > 0
 
 
+class TestEncoderWeightsNpzWiring:
+    """The runtime half of the reference's encoder_weights='imagenet' start
+    (mymodels.py:234,242-243): a converted encoder npz grafts into fresh
+    height-model variables via TrainConfig.encoder_weights."""
+
+    def _height_vars(self):
+        from srbh_tpu.models import SRRegressClsFeature
+
+        m = SRRegressClsFeature(encoder_name="efficientnet-test",
+                                super_mid=8, isaggre=True, chans_build=7)
+        hv = jax.eval_shape(
+            lambda: m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 8)),
+                           jnp.zeros((1, 128, 128, 8))))
+        return jax.tree_util.tree_map(
+            lambda a: jnp.zeros(a.shape, a.dtype), hv)
+
+    def _encoder_npz(self, path, seed=1):
+        from srbh_tpu.models import EfficientNetEncoder
+
+        enc = EfficientNetEncoder(model_name="efficientnet-test")
+        ev = jax.jit(enc.init)(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, 32, 32, 3)))
+        tree = {"params": jax.tree_util.tree_map(np.asarray, ev["params"]),
+                "batch_stats": jax.tree_util.tree_map(
+                    np.asarray, ev["batch_stats"])}
+        convert.save_tree_npz(path, tree)
+        return tree
+
+    def test_graft_widens_3ch_stem_and_keeps_weights(self, tmp_path):
+        hv = self._height_vars()
+        npz = str(tmp_path / "enc.npz")
+        tree = self._encoder_npz(npz)
+        out = convert.graft_encoder_npz(hv, npz)
+        k = out["params"]["encoder"]["stem_conv"]["kernel"]
+        assert k.shape[2] == 8
+        k3 = tree["params"]["stem_conv"]["kernel"]
+        np.testing.assert_allclose(np.asarray(k[:, :, 4, :]),
+                                   k3[:, :, 1, :] * (3 / 8), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(out["params"]["encoder"]["blocks_2_0"]["dw_conv"]
+                       ["kernel"]),
+            tree["params"]["blocks_2_0"]["dw_conv"]["kernel"], atol=0)
+        np.testing.assert_allclose(
+            np.asarray(out["batch_stats"]["encoder"]["stem_bn"]["mean"]),
+            tree["batch_stats"]["stem_bn"]["mean"], atol=0)
+        # heads untouched, structure preserved
+        assert (jax.tree_util.tree_structure(out["params"])
+                == jax.tree_util.tree_structure(hv["params"]))
+
+    def test_wrong_architecture_fails_loudly(self, tmp_path):
+        hv = self._height_vars()
+        npz = str(tmp_path / "enc.npz")
+        tree = self._encoder_npz(npz)
+        # simulate an npz converted for a wider encoder: double one conv's
+        # output channels
+        k = tree["params"]["blocks_2_0"]["dw_conv"]["kernel"]
+        tree["params"]["blocks_2_0"]["dw_conv"]["kernel"] = (
+            np.concatenate([k, k], axis=-1))
+        convert.save_tree_npz(npz, tree)
+        with pytest.raises(ValueError, match="does not match"):
+            convert.graft_encoder_npz(hv, npz)
+
+    def test_not_an_encoder_npz(self, tmp_path):
+        hv = self._height_vars()
+        npz = str(tmp_path / "junk.npz")
+        convert.save_tree_npz(npz, {"params": {"x": np.zeros(3)}})
+        with pytest.raises(ValueError, match="not an encoder npz"):
+            convert.graft_encoder_npz(hv, npz)
+
+    def test_config_flag_exists_and_parses(self):
+        from srbh_tpu.train.config import get_args
+
+        cfg = get_args("globe", argv=["--encoder_weights", "/tmp/enc.npz"])
+        assert cfg.encoder_weights == "/tmp/enc.npz"
+        assert get_args("globe", argv=[]).encoder_weights is None
+
+
 class TestUnetDecoderTorchOracle:
     """Numeric forward oracle for the smp UnetDecoder topology
     (mymodels.py:244-258 dependency): an in-test torch replica of smp's
