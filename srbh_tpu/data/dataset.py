@@ -49,7 +49,8 @@ class S12GlobeDataset:
                  s1dir: str = "s1", s2dir: str = "s2", heightdir: str = "bh",
                  preweight: Optional[str] = None, isaggre: bool = False,
                  ishir: bool = False, hir=DEFAULT_HIR, nchans: int = 6,
-                 weightmethod: str = "sqrt", seed: int = 1337):
+                 weightmethod: str = "sqrt", seed: int = 1337,
+                 device_aug: bool = False):
         self.nchans = nchans
         self.datalist = pd.read_csv(datalist, sep=",", header=None)
         if len(self.datalist.columns) == 1:
@@ -92,6 +93,14 @@ class S12GlobeDataset:
         self.buildhir = build_hierarchy_lut(hir) if ishir else None
         self.seed = seed
         self._epoch = 0
+        # device_aug: the host skips augmentation AND target building —
+        # both run inside the jitted train step (ops/device_aug.py), so
+        # __getitem__ returns only the normalised image + raw height. The
+        # cv2 rotation (~48% of per-tile host cost, tools/loader_bench.py)
+        # moves to the TPU.
+        if device_aug and aug:
+            raise ValueError("device_aug replaces host aug: pass aug=False")
+        self.device_aug = device_aug
         # per-sample pandas .iloc costs ~2 ms; resolve rows to tuples once
         self._rows = list(self.datalist.itertuples(index=False, name=None))
         self._weight32 = self.heightweight.astype(np.float32)
@@ -150,6 +159,12 @@ class S12GlobeDataset:
         return self._finish_sample(img, height, img_path)
 
     def _finish_sample(self, img, height, img_path):
+        if self.device_aug:
+            # keep the height's natural integer dtype (uint8 rasters): 4x
+            # fewer host->device bytes; the in-jit target builder casts
+            return {"image": np.ascontiguousarray(img),
+                    "height": np.ascontiguousarray(height),
+                    "path": img_path}
         height = height.astype(np.float32)
         if self.ishir:
             build = self.buildhir[height.astype(np.int64).clip(0, 255)]

@@ -68,6 +68,23 @@ def make_city_step(model, sr_model, rgb_idx=(0, 1, 2), dtype=jnp.bfloat16,
                    out_shardings=(data, data))
 
 
+def _canvas_bytes(width: int, height: int, n_classes: int,
+                  upscale: int) -> int:
+    """int32 height-sum + build-sum + weight canvases at x``upscale``."""
+    hw = width * upscale * height * upscale
+    return hw * 4 * (2 + n_classes)
+
+
+def _device_canvas_fits(width: int, height: int, n_classes: int,
+                        upscale: int) -> bool:
+    """HBM guard for stitch='device': the scatter-add canvases (plus one
+    transient copy at the donation boundary) must fit the budget.
+    Default budget 6 GiB — half a v5e's 16 GiB, leaving room for the model
+    + batch activations; override with SRBH_DEVICE_CANVAS_BUDGET (bytes)."""
+    budget = float(os.environ.get("SRBH_DEVICE_CANVAS_BUDGET", 6 * 2**30))
+    return 2.0 * _canvas_bytes(width, height, n_classes, upscale) <= budget
+
+
 def predict_city(
     dataset: GridImageDataset,
     step,
@@ -98,6 +115,12 @@ def predict_city(
 
     from srbh_tpu.data.pipeline import DataLoader
 
+    if stitch == "device" and not _device_canvas_fits(
+            dataset.width, dataset.height, chans_build, upscale):
+        print(f"predict_city[{cityname}]: device canvases "
+              f"({_canvas_bytes(dataset.width, dataset.height, chans_build, upscale) / 2**30:.1f} GiB) "
+              "exceed the HBM budget; falling back to the host stitcher")
+        stitch = "host"
     if stitch == "device":
         from srbh_tpu.predict.device_stitcher import DeviceMosaicAccumulator
 

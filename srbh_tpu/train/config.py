@@ -60,6 +60,12 @@ class TrainConfig:
     # rematerialise the 256^2 fusion stack in backward (jax.checkpoint):
     # trades one extra cheap forward for HBM headroom at large batch
     remat: bool = False
+    # run augmentation + target building inside the jitted train step
+    # (ops/device_aug.py) instead of on the host workers — removes the cv2
+    # rotation hotspot (~48% of per-tile host cost) from the input pipeline;
+    # rotation becomes float bilinear (distribution-equivalent, not
+    # bit-equal to cv2's fixed-point)
+    device_aug: bool = False
     num_sample: int = 0
     # exact resume: persist optax state (reference never does, train.py:207)
     save_opt_state: bool = False

@@ -37,7 +37,8 @@ from srbh_tpu.train.state import TrainState
 
 
 def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
-                    seed: int = 0):
+                    seed: int = 0, device_aug: bool = False,
+                    hir=None, class_weight=None):
     """Build the jitted aggre+weight train step (train.py:225-271).
 
     Batch dict (NHWC): ``image`` (N,64,64,8), ``height`` (N,256,256),
@@ -46,12 +47,35 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
     ``seed`` roots the per-step dropout/drop-connect RNG (folded with
     ``state.step``), making seeded runs reproducible end-to-end like the
     reference's global seeding (train.py:86-90).
+
+    ``device_aug=True`` moves augmentation + target building in-jit
+    (ops/device_aug.py): the batch then carries only ``image`` (normalised)
+    and ``height`` (raw 256x256); flips/shuffles/rotation and the
+    hierarchy/weight/aggregation targets are computed on device from
+    ``hir`` + ``class_weight`` (the dataset's ``heightweight``).
     Returns ``(state, metrics)`` with loss / rmse / log_vars.
     """
     rgb = jnp.asarray(rgb_idx)
     base_rng = jax.random.PRNGKey(seed)
+    if device_aug:
+        from srbh_tpu.ops.device_aug import augment_batch, build_targets
+        from srbh_tpu.ops.hierarchy import DEFAULT_HIR, build_hierarchy_lut
+
+        lut = jnp.asarray(build_hierarchy_lut(hir or DEFAULT_HIR))
+        cw = jnp.asarray(class_weight if class_weight is not None
+                         else jnp.ones(len(hir or DEFAULT_HIR) - 1),
+                         jnp.float32)
+        # a stream distinct from the dropout RNG (which stays bit-identical
+        # to the host-aug mode): fold a fixed tag, then the step counter
+        aug_root = jax.random.fold_in(base_rng, 0x617567)  # 'aug'
 
     def step(state: TrainState, sr_params, batch, lr):
+        if device_aug:
+            img, height = augment_batch(
+                jax.random.fold_in(aug_root, state.step),
+                batch["image"], batch["height"])
+            batch = {"image": img,
+                     **build_targets(height, lut, cw, isaggre=isaggre)}
         if sr_model is not None:
             sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
                                     features_only=True)

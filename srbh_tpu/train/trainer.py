@@ -97,7 +97,8 @@ def load_sr_params(cfg: TrainConfig, sr_params):
 def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
                  ishir: bool, num_sample: int = 0, shuffle: bool = True,
                  preweight: Optional[str] = None, sharding=None,
-                 device_put: bool = True, drop_last: bool = False):
+                 device_put: bool = True, drop_last: bool = False,
+                 device_aug: bool = False):
     """Loader with async device prefetch: batches are already on device
     (optionally data-axis sharded) when the step consumes them, so the jitted
     step never blocks on a synchronous host->device copy."""
@@ -106,17 +107,21 @@ def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
         datastats=cfg.datastats, normmethod="minmax", datarange=(0, 1),
         aug=aug, num_sample=num_sample, s1dir=cfg.s1dir, s2dir=cfg.s2dir,
         heightdir=cfg.bhdir, preweight=preweight, isaggre=isaggre,
-        ishir=ishir, hir=cfg.hir, nchans=cfg.nchanss2, seed=cfg.seed)
+        ishir=ishir, hir=cfg.hir, nchans=cfg.nchanss2, seed=cfg.seed,
+        device_aug=device_aug)
     return DataLoader(ds, batch_size=cfg.batch_size, shuffle=shuffle,
                       num_workers=cfg.num_workers, seed=cfg.seed,
                       drop_last=drop_last, device_put=device_put,
                       sharding=sharding)
 
 
-def _to_device_batch(batch, isaggre=True):
-    keys = ["image", "height", "build", "weight"]
-    if isaggre:
-        keys += ["height_aggre", "weight_aggre"]
+def _to_device_batch(batch, isaggre=True, device_aug=False):
+    if device_aug:
+        keys = ["image", "height"]  # targets are built in-jit
+    else:
+        keys = ["image", "height", "build", "weight"]
+        if isaggre:
+            keys += ["height_aggre", "weight_aggre"]
     return {k: jnp.asarray(batch[k]) for k in keys}
 
 
@@ -137,11 +142,13 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
     sharding = pmesh.batch_sharding(mesh) if mesh is not None else None
 
     # fixed-shape sharded batches on a mesh: drop ragged tails
-    trainloader = _make_loader(cfg, cfg.trainlist, aug=True,
+    device_aug = getattr(cfg, "device_aug", False)
+    trainloader = _make_loader(cfg, cfg.trainlist, aug=not device_aug,
                                isaggre=cfg.isaggre, ishir=cfg.ishir,
                                num_sample=cfg.num_sample,
                                preweight=cfg.preweight, sharding=sharding,
-                               drop_last=mesh is not None)
+                               drop_last=mesh is not None,
+                               device_aug=device_aug)
     valloader = _make_loader(cfg, cfg.vallist, aug=False, isaggre=False,
                              ishir=False, num_sample=cfg.num_sample // 2,
                              shuffle=False, sharding=sharding,
@@ -187,7 +194,9 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         print(f"=> resumed epoch {start_epoch}")
 
     train_step = make_train_step(model, sr, cfg.rgbseq, cfg.isaggre,
-                                 seed=cfg.seed)
+                                 seed=cfg.seed, device_aug=device_aug,
+                                 hir=cfg.hir,
+                                 class_weight=trainloader.dataset.heightweight)
     eval_step = make_eval_step(model, sr, cfg.rgbseq)
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
@@ -214,7 +223,7 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         for i, batch in enumerate(trainloader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            b = to_device(batch, cfg.isaggre)
+            b = _to_device_batch(batch, cfg.isaggre, device_aug=device_aug)
             state, m = train_step(state, sr_params, b, jnp.asarray(lr))
             n = b["image"].shape[0]
             losses.update(float(m["loss"]), n)

@@ -150,6 +150,43 @@ class TestPredictor:
                               "demo", batch_size=4)
         assert r1 == build_tif
 
+    def test_device_canvas_hbm_guard(self, synth_city, tmp_path,
+                                     monkeypatch, capsys):
+        """stitch='device' falls back to host when the int32 canvases blow
+        the HBM budget (guard for continent-scale cities)."""
+        from srbh_tpu.predict.predictor import (
+            _canvas_bytes, _device_canvas_fits)
+
+        assert _canvas_bytes(2048, 2048, 7, 4) == 8192 * 8192 * 4 * 9
+        monkeypatch.setenv("SRBH_DEVICE_CANVAS_BUDGET", str(2 * 2**30))
+        assert not _device_canvas_fits(8192, 8192, 7, 4)
+        assert _device_canvas_fits(512, 512, 7, 4)
+        # end-to-end: tiny budget forces the fallback path, which still
+        # produces the artifacts
+        from srbh_tpu import models
+        from srbh_tpu.predict.predictor import make_city_step, predict_city
+
+        monkeypatch.setenv("SRBH_DEVICE_CANVAS_BUDGET", str(1000))
+        sr = models.RRDBNet(num_block=1, num_feat=8, num_grow_ch=8,
+                            dtype=jnp.float32)
+        model = models.SRRegressClsFeature(encoder_name="efficientnet-test",
+                                           super_mid=8, isaggre=True,
+                                           chans_build=7, dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((4, 64, 64, 8))
+        sr_params = jax.jit(sr.init)(rng, x[..., :3])
+        variables = jax.jit(model.init)(rng, x, jnp.zeros((4, 256, 256, 8)))
+        step = make_city_step(model, sr, dtype=jnp.float32)
+        ds = GridImageDataset(str(synth_city), "demo",
+                              str(synth_city / "stats"), s1dir="s1x",
+                              s2dir="s2x", gridvalid="isv", nchans=6)
+        respath = str(tmp_path / "guard")
+        os.makedirs(respath)
+        btif, htif = predict_city(ds, step, variables, sr_params, respath,
+                                  "demo", batch_size=4, stitch="device")
+        assert "falling back to the host stitcher" in capsys.readouterr().out
+        assert os.path.exists(btif) and os.path.exists(htif)
+
     def test_stitcher_blend_math(self):
         from srbh_tpu.predict.stitcher import MosaicAccumulator
 

@@ -91,16 +91,33 @@ class TestDatumGuards:
                '"scale_factor",1],PARAMETER["false_easting",500000],'
                'UNIT["metre",1]]')
 
-    def test_non_wgs84_datum_raises(self):
-        with pytest.raises(ValueError, match="datum"):
-            crs.from_wkt(self.BEIJING)
+    # Round-3 policy change: datums with an explicit TOWGS84 clause now
+    # PARSE and transform() applies the Helmert shift (tests/
+    # test_crs_conic.py pins the math); only unknown datums WITHOUT a
+    # TOWGS84 clause still fail loudly — the original silent-~100 m-error
+    # guard this review introduced.
 
-    def test_nonzero_towgs84_raises(self):
+    def test_non_wgs84_datum_without_towgs84_raises(self):
+        import re
+
+        stripped = re.sub(r",TOWGS84\[[^\]]*\]", "", self.BEIJING)
+        with pytest.raises(ValueError, match="datum"):
+            crs.from_wkt(stripped)
+
+    def test_towgs84_datum_parses_with_shift(self):
+        p = crs.from_wkt(self.BEIJING)
+        assert isinstance(p, crs.TransverseMercator)
+        assert p.towgs84 == (15.8, -154.4, -82.3, 0.0, 0.0, 0.0, 0.0)
+
+    def test_nonzero_towgs84_is_applied_not_ignored(self):
         wkt = ('GEOGCS["x",DATUM["WGS_1984",SPHEROID["WGS 84",6378137,'
                '298.257223563],TOWGS84[1,2,3,0,0,0,0]],PRIMEM["Greenwich",'
                '0],UNIT["degree",0.0174532925199433]]')
-        with pytest.raises(ValueError, match="TOWGS84"):
-            crs.from_wkt(wkt)
+        p = crs.from_wkt(wkt)
+        lon, lat = crs.transform(p, crs.Geographic(), 116.0, 40.0)
+        shift_m = float(np.hypot((lon - 116.0) * 111e3 * np.cos(np.radians(40)),
+                                 (lat - 40.0) * 111e3))
+        assert 0.5 < shift_m < 5.0, f"TOWGS84[1,2,3] shift {shift_m} m"
 
     def test_wgs84_variants_still_parse(self):
         for name in ("WGS_1984", "D_WGS_1984", "World Geodetic System 1984"):

