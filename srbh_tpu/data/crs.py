@@ -611,6 +611,19 @@ def wkt_for_epsg(code: int) -> str:
             f'PARAMETER["false_easting",500000],'
             f'PARAMETER["false_northing",{10000000 if south else 0}],'
             f'UNIT["metre",1]]')
+    if code == 5070:
+        return (
+            'PROJCS["NAD83 / Conus Albers",GEOGCS["NAD83",'
+            'DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",'
+            '6378137,298.257222101]],PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Albers_Conic_Equal_Area"],'
+            'PARAMETER["latitude_of_center",23],'
+            'PARAMETER["longitude_of_center",-96],'
+            'PARAMETER["standard_parallel_1",29.5],'
+            'PARAMETER["standard_parallel_2",45.5],'
+            'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+            'UNIT["metre",1]]')
     raise ValueError(f"unsupported EPSG:{code}")
 
 
@@ -619,6 +632,12 @@ def epsg_of(p) -> Optional[int]:
     projection object (or WKT string), None when it is not one of the
     supported canonical forms (WGS84 geographic / WGS84 UTM zones)."""
     p = as_projection(p)
+    if (isinstance(p, AlbersEqualArea) and (p.lat1, p.lat2, p.lat0, p.lon0)
+            == (29.5, 45.5, 23.0, -96.0)
+            and p.false_easting == 0.0 and p.false_northing == 0.0
+            and abs(p.a - _A_GRS80) < 1e-3
+            and abs(p.f - _F_GRS80) < 1e-12):
+        return 5070
     if abs(p.a - _A) > 1e-3 or abs(p.f - _F) > 1e-12:
         return None
     if getattr(p, "is_geographic", False):

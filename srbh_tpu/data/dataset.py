@@ -50,7 +50,7 @@ class S12GlobeDataset:
                  preweight: Optional[str] = None, isaggre: bool = False,
                  ishir: bool = False, hir=DEFAULT_HIR, nchans: int = 6,
                  weightmethod: str = "sqrt", seed: int = 1337,
-                 device_aug: bool = False):
+                 device_aug: bool = False, device_norm: bool = False):
         self.nchans = nchans
         self.datalist = pd.read_csv(datalist, sep=",", header=None)
         if len(self.datalist.columns) == 1:
@@ -101,6 +101,13 @@ class S12GlobeDataset:
         if device_aug and aug:
             raise ValueError("device_aug replaces host aug: pass aug=False")
         self.device_aug = device_aug
+        # device_norm (requires device_aug): ship RAW sensor DNs (s2 in its
+        # natural uint16, s1 float32) and normalise in-jit — the per-band
+        # affine + clip is bit-exact on device, and raw s2 is 2x smaller
+        # on the wire than the normalised float32 image
+        if device_norm and not device_aug:
+            raise ValueError("device_norm requires device_aug")
+        self.device_norm = device_norm
         # per-sample pandas .iloc costs ~2 ms; resolve rows to tuples once
         self._rows = list(self.datalist.itertuples(index=False, name=None))
         self._weight32 = self.heightweight.astype(np.float32)
@@ -134,6 +141,20 @@ class S12GlobeDataset:
 
     def __getitem__(self, index):
         img, height, img_path = self._load_pair(index)
+        if self.device_norm:
+            if type(self) is not S12GlobeDataset:
+                raise NotImplementedError(
+                    "device_norm is only wired for the S12 main path")
+            # raw-DN mode: normalisation + clip + aug + targets all run
+            # in-jit; s2 keeps its file dtype (uint16) on the wire
+            basename, s1dir, s2dir, _ = self._rows[index][:4]
+            s2 = read_tiff(os.path.join(self.rootname, s2dir, basename)
+                           )[..., : self.nchans]
+            return {"s2": np.ascontiguousarray(s2),
+                    "s1": np.ascontiguousarray(
+                        img[..., self.nchans:].astype(np.float32)),
+                    "height": np.ascontiguousarray(height),
+                    "path": img_path}
         # The reference recipe is: x4 nearest up (so augmentation acts on the
         # 2.5 m grid) -> aug -> normalise -> x0.25 nearest -> clip
         # (BH_loader.py:354-369). x4-up then [::4] is the identity, flips /

@@ -16,6 +16,9 @@ Modes:
 * ``device`` — ``device_aug``: workers only decode+normalise; augmentation
   and target building run in-jit (ops/device_aug.py); ~196 KB/tile shipped
   (image f32 + height uint8) — 4.8x fewer bytes AND no cv2 rotation.
+* ``device_norm`` — also normalise in-jit: workers only decode; raw
+  uint16 s2 DNs + f32 s1 on the wire (~147 KB/tile), bit-equal to
+  ``device``.
 
 Environment note (axon relay): host->device sustains only ~10-40 MB/s
 here vs GB/s of real TPU-VM DMA, so through the relay the composed number
@@ -57,7 +60,12 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--tiles", type=int, default=768)
     ap.add_argument("--workers", type=int, nargs="*", default=[0, 2, 4])
-    ap.add_argument("--modes", nargs="*", default=["host", "device"])
+    ap.add_argument("--modes", nargs="*",
+                    default=["host", "device", "device_norm"],
+                    help="host = reference-faithful worker aug+targets; "
+                         "device = in-jit aug+targets (image f32 + uint8 "
+                         "height on the wire); device_norm = also "
+                         "normalise in-jit (raw uint16 s2 + f32 s1)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--test-scale", action="store_true",
                     help="tiny models (CPU-runnable sanity mode)")
@@ -108,16 +116,21 @@ def main(argv=None):
     try:
         _build_synthetic(root, args.tiles)
         for mode in args.modes:
-            device_aug = mode == "device"
+            device_aug = mode in ("device", "device_norm")
+            device_norm = mode == "device_norm"
             ds = S12GlobeDataset(
                 os.path.join(root, "dl.csv"), root, datastats=root,
                 normmethod="minmax", datarange=(0, 1), aug=not device_aug,
                 s1dir="s1c", s2dir="s2c", heightdir="bhc",
                 preweight=os.path.join(root, "bh_stats.txt"),
-                isaggre=True, ishir=True, seed=0, device_aug=device_aug)
+                isaggre=True, ishir=True, seed=0, device_aug=device_aug,
+                device_norm=device_norm)
             step = make_train_step(
                 model, sr, isaggre=True, seed=1337, device_aug=device_aug,
-                class_weight=ds.heightweight)
+                class_weight=ds.heightweight,
+                norm={"s2_off": ds.s2_off, "s2_scale": ds.s2_scale,
+                      "s1_off": ds.s1_off, "s1_scale": ds.s1_scale}
+                if device_norm else None)
             sample = ds[0]
             bpt = sum(v.nbytes for k, v in sample.items() if k != "path")
             for workers in args.workers:
@@ -129,7 +142,8 @@ def main(argv=None):
                     n_log_vars=3, lr=1e-3)
                 # warm epoch: compile + codec caches + thread spin-up
                 for batch in loader:
-                    b = _to_device_batch(batch, True, device_aug=device_aug)
+                    b = _to_device_batch(batch, True, device_aug=device_aug,
+                                         device_norm=device_norm)
                     state, m = step(state, sr_params, b, jnp.asarray(1e-3))
                 float(m["loss"])
                 tiles = 0
@@ -137,7 +151,8 @@ def main(argv=None):
                 for _ in range(args.epochs):
                     for batch in loader:
                         b = _to_device_batch(batch, True,
-                                             device_aug=device_aug)
+                                             device_aug=device_aug,
+                                             device_norm=device_norm)
                         state, m = step(state, sr_params, b,
                                         jnp.asarray(1e-3))
                         tiles += args.batch

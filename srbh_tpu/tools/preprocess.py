@@ -19,10 +19,12 @@ implemented over the framework's own raster/vector codecs:
 * :func:`compare_rasters`    — IoU / RMSE / MAE between two height products
   (demo_preprocess_…py raster-comparison functions).
 * :func:`floor_field_to_height` — vector floor-count -> metres field calc.
-* :func:`download_sentinel12`   — the GEE export driver exists in the
-  reference (demo_preprocess_…py:1210+) but requires Earth-Engine
-  credentials and network egress; here it validates inputs and raises with
-  the equivalent job description (documented stub).
+* :func:`download_sentinel12` / :func:`build_sentinel12_manifest` — the
+  ESA WorldCover composite fetch driver (demo_preprocess_…py:1210-1261):
+  grid-intersection + exact ``aws s3 cp`` command construction run here
+  (offline); the copies themselves need network egress, so by default a
+  ``download_manifest.sh`` is written for off-device execution
+  (SRBH_ALLOW_NETWORK=1 executes in place).
 """
 from __future__ import annotations
 
@@ -232,21 +234,115 @@ def floor_field_to_height(values: np.ndarray, m_per_floor: float = 3.0,
     return v * m_per_floor
 
 
-def download_sentinel12(query_shp: str, resroot: str,
-                        typelist=("s1_vvvhratio", "s2_rgbnir"),
-                        year: str = "2020"):
-    """GEE Sentinel-1/2 export driver (demo_preprocess_…py:1210+).
+def build_sentinel12_manifest(query_shp: str, ref_shp: str, resroot: str,
+                              typelist=("s1_vvvhratio", "s2_rgbnir"),
+                              year: str = "2020"):
+    """Tile manifest for the ESA WorldCover Sentinel-1/2 composites
+    (download_sentinel12, demo_preprocess_height_v2.py:1210-1261).
 
-    Requires Google Earth Engine credentials and network egress, neither of
-    which exists in this environment. Validates the request and raises with
-    the job description so callers fail loudly instead of silently skipping.
+    The reference intersects the city extent with the WorldCover composite
+    grid (``esa_worldcover_grid_composites``) and ``aws s3 cp``s each
+    matching tile. Everything except the copy is pure geometry + string
+    work, done here: returns ``(fplist, commands)`` where ``fplist`` are
+    the local destination paths and ``commands`` the exact
+    ``aws s3 cp <url> <dir> --no-sign-request`` invocations.
+
+    ``ref_shp`` is the grid in ESRI-shapefile form (the reference reads the
+    .fgb FlatGeobuf build of the same grid; convert once with
+    ``ogr2ogr grid.shp esa_worldcover_grid_composites.fgb``). Attribute
+    columns consumed: ``ll_tile`` (landcover tile id) and
+    ``{type}_{year}`` s3 paths — the reference's exact schema.
     """
     cells = read_shapefile(query_shp)
-    raise RuntimeError(
-        f"Earth-Engine export of {typelist} for {len(cells)} grid cells "
-        f"(year {year}) to {resroot} requires GEE credentials + network "
-        "egress; run the reference's GEE driver off-device and point the "
-        "data pipeline at the exported tiles.")
+    if not cells:
+        raise ValueError(f"{query_shp}: empty query")
+    qb = [min(c.bounds[0] for c in cells), min(c.bounds[1] for c in cells),
+          max(c.bounds[2] for c in cells), max(c.bounds[3] for c in cells)]
+    qprj = Path(query_shp).with_suffix(".prj")
+    gprj = Path(ref_shp).with_suffix(".prj")
+    if qprj.exists() and gprj.exists():
+        qwkt, gwkt = qprj.read_text(), gprj.read_text()
+        if qwkt.strip() != gwkt.strip():  # query -> grid CRS (ref :1223)
+            from srbh_tpu.data import crs as _crs
+
+            qb = list(_crs.transform_bounds(qwkt, gwkt, tuple(qb)))
+    tiles = [r for r in read_shapefile(ref_shp)
+             if not (r.bounds[2] < qb[0] or r.bounds[0] > qb[2]
+                     or r.bounds[3] < qb[1] or r.bounds[1] > qb[3])]
+    fplist, commands = [], []
+    for typ in typelist:
+        respath = os.path.join(resroot, typ)
+        if typ == "landcover":
+            ver = ("v100/2020/map", "v100") if year == "2020" \
+                else ("v200/2021/map", "v200")
+            for rec in tiles:
+                tile = rec.attributes.get("ll_tile")
+                if tile is None:
+                    continue
+                yr = "2020" if year == "2020" else "2021"
+                url = (f"s3://esa-worldcover/{ver[0]}/"
+                       f"ESA_WorldCover_10m_{yr}_{ver[1]}_{tile}_Map.tif")
+                fplist.append(os.path.join(respath, os.path.basename(url)))
+                commands.append(
+                    f"aws s3 cp {url} {respath} --no-sign-request")
+        else:
+            # the reference grid ships as .fgb with full column names
+            # ("s1_vvvhratio_2020"); converted shapefiles truncate DBF
+            # fields to 10 chars — accept both spellings
+            field = f"{typ}_{year}"
+            for rec in tiles:
+                url = rec.attributes.get(field)
+                if url is None:
+                    url = rec.attributes.get(field[:10])
+                if not url:
+                    continue
+                fplist.append(os.path.join(respath,
+                                           os.path.basename(str(url))))
+                commands.append(
+                    f"aws s3 cp {url} {respath} --no-sign-request")
+    return fplist, commands
+
+
+def download_sentinel12(query_shp: str, resroot: str,
+                        typelist=("s1_vvvhratio", "s2_rgbnir"),
+                        year: str = "2020", ref_shp: Optional[str] = None):
+    """Sentinel-1/2 composite fetch driver (demo_preprocess_…py:1210-1261).
+
+    Builds the tile manifest offline (:func:`build_sentinel12_manifest`);
+    already-present files are skipped like the reference. The actual S3
+    copies need network egress, absent here, so by default the commands
+    are written to ``{resroot}/download_manifest.sh`` for off-device
+    execution and the destination list is returned; set
+    ``SRBH_ALLOW_NETWORK=1`` to execute them in place.
+    """
+    if ref_shp is None:
+        raise ValueError(
+            "pass ref_shp: the esa_worldcover_grid_composites grid "
+            "(shapefile form) the reference intersects against")
+    fplist, commands = build_sentinel12_manifest(query_shp, ref_shp,
+                                                 resroot, typelist, year)
+    todo = [c for f, c in zip(fplist, commands) if not os.path.exists(f)]
+    if not todo:
+        return fplist
+    if os.environ.get("SRBH_ALLOW_NETWORK") == "1":
+        import subprocess
+
+        for typ in typelist:
+            os.makedirs(os.path.join(resroot, typ), exist_ok=True)
+        for c in todo:
+            subprocess.run(c.split(), check=True)
+        return fplist
+    os.makedirs(resroot, exist_ok=True)
+    manifest = os.path.join(resroot, "download_manifest.sh")
+    with open(manifest, "w") as f:
+        f.write("#!/bin/sh\n# generated by srbh_tpu (zero-egress image);\n"
+                "# run off-device to fetch the WorldCover composites\n")
+        for typ in typelist:
+            f.write(f"mkdir -p {os.path.join(resroot, typ)}\n")
+        f.write("\n".join(todo) + "\n")
+    print(f"download_sentinel12: no network egress here — wrote "
+          f"{len(todo)} copy commands to {manifest}")
+    return fplist
 
 
 def _cli(argv=None):

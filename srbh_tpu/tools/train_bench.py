@@ -18,6 +18,9 @@ budget (45k tiles x 0.7 train split x 20 epochs) is ~26 minutes on ONE chip.
 Usage: python -m srbh_tpu.tools.train_bench [batch] [chain_steps]
 Env: SRBH_TRAIN_REMAT=1 re-measures with the 256^2 fusion stack
 rematerialised (jax.checkpoint) — the HBM-for-FLOPs tradeoff knob.
+     SRBH_TRAIN_DEVICE_AUG=1 re-measures with in-jit augmentation +
+target building (ops/device_aug.py) — quantifies what moving the host
+pipeline's cv2 work onto the chip costs in device time.
 """
 from __future__ import annotations
 
@@ -59,15 +62,27 @@ def main(batch: int = 128, chain: int = 4):
     state = TrainState.create(variables, n_log_vars=3, lr=1e-3)
 
     ks = jax.random.split(rng, 6)
-    batch_dict = {
-        "image": x,
-        "height": jax.random.uniform(ks[0], (batch, 256, 256)) * 30,
-        "height_aggre": jax.random.uniform(ks[1], (batch, 64, 64)) * 30,
-        "build": jax.random.randint(ks[2], (batch, 256, 256), 0, 7),
-        "weight": jnp.ones((batch, 256, 256)),
-        "weight_aggre": jnp.ones((batch, 64, 64)),
-    }
-    step = make_train_step(model, sr, isaggre=True, seed=1337)
+    device_aug = os.environ.get("SRBH_TRAIN_DEVICE_AUG", "0") == "1"
+    if device_aug:
+        batch_dict = {
+            "image": x,
+            "height": jax.random.randint(ks[0], (batch, 256, 256), 0, 120
+                                         ).astype(jnp.uint8),
+        }
+        import numpy as np
+
+        step = make_train_step(model, sr, isaggre=True, seed=1337,
+                               device_aug=True, class_weight=np.ones(7))
+    else:
+        batch_dict = {
+            "image": x,
+            "height": jax.random.uniform(ks[0], (batch, 256, 256)) * 30,
+            "height_aggre": jax.random.uniform(ks[1], (batch, 64, 64)) * 30,
+            "build": jax.random.randint(ks[2], (batch, 256, 256), 0, 7),
+            "weight": jnp.ones((batch, 256, 256)),
+            "weight_aggre": jnp.ones((batch, 64, 64)),
+        }
+        step = make_train_step(model, sr, isaggre=True, seed=1337)
 
     @jax.jit
     def chained(state, sr_params, batch_dict):
@@ -92,7 +107,8 @@ def main(batch: int = 128, chain: int = 4):
     ms = statistics.median(times) / chain * 1000
     tiles = batch / (ms / 1000)
     print(json.dumps({
-        "metric": "height_train_tiles_per_sec_per_chip",
+        "metric": "height_train_tiles_per_sec_per_chip"
+                  + ("_devaug" if device_aug else ""),
         "value": round(tiles, 2), "unit": "tiles/sec",
         "batch": batch, "ms_per_step": round(ms, 1),
         "loss": round(loss, 2),

@@ -66,6 +66,10 @@ class TrainConfig:
     # rotation becomes float bilinear (distribution-equivalent, not
     # bit-equal to cv2's fixed-point)
     device_aug: bool = False
+    # with device_aug: also normalise in-jit — workers ship RAW uint16 S2
+    # DNs + float32 S1 (146 KB/tile vs 196); same normalise->clip->augment
+    # order as device_aug, <=1 f32 ulp (XLA reciprocal-based division)
+    device_norm: bool = False
     num_sample: int = 0
     # exact resume: persist optax state (reference never does, train.py:207)
     save_opt_state: bool = False

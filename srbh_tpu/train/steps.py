@@ -38,7 +38,7 @@ from srbh_tpu.train.state import TrainState
 
 def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
                     seed: int = 0, device_aug: bool = False,
-                    hir=None, class_weight=None):
+                    hir=None, class_weight=None, norm=None):
     """Build the jitted aggre+weight train step (train.py:225-271).
 
     Batch dict (NHWC): ``image`` (N,64,64,8), ``height`` (N,256,256),
@@ -53,6 +53,13 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
     and ``height`` (raw 256x256); flips/shuffles/rotation and the
     hierarchy/weight/aggregation targets are computed on device from
     ``hir`` + ``class_weight`` (the dataset's ``heightweight``).
+
+    ``norm`` (requires ``device_aug``) additionally moves normalisation
+    in-jit: a dict ``{"s2_off", "s2_scale", "s1_off", "s1_scale"}`` (the
+    dataset's tables); the batch then carries raw ``s2`` (uint16 DNs) +
+    ``s1`` instead of ``image`` — within 1 f32 ulp of the host's per-band
+    affine + [0,1] clip (XLA lowers f32 division via reciprocal, 1 ulp off
+    numpy's exactly-rounded divide), and 2x fewer wire bytes for s2.
     Returns ``(state, metrics)`` with loss / rmse / log_vars.
     """
     rgb = jnp.asarray(rgb_idx)
@@ -69,11 +76,27 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
         # to the host-aug mode): fold a fixed tag, then the step counter
         aug_root = jax.random.fold_in(base_rng, 0x617567)  # 'aug'
 
+    if norm is not None and not device_aug:
+        raise ValueError("norm (in-jit normalisation) requires device_aug")
+
     def step(state: TrainState, sr_params, batch, lr):
         if device_aug:
+            if norm is not None:
+                # in-jit normalisation of raw DNs: same op order as the
+                # host (subtract, divide, clip); <=1 f32 ulp vs numpy
+                # (XLA's reciprocal-based f32 division)
+                s2 = ((batch["s2"].astype(jnp.float32)
+                       - jnp.asarray(norm["s2_off"], jnp.float32))
+                      / jnp.asarray(norm["s2_scale"], jnp.float32))
+                s1 = ((batch["s1"].astype(jnp.float32)
+                       - jnp.asarray(norm["s1_off"], jnp.float32))
+                      / jnp.asarray(norm["s1_scale"], jnp.float32))
+                image = jnp.clip(jnp.concatenate([s2, s1], axis=-1), 0, 1)
+            else:
+                image = batch["image"]
             img, height = augment_batch(
                 jax.random.fold_in(aug_root, state.step),
-                batch["image"], batch["height"])
+                image, batch["height"])
             batch = {"image": img,
                      **build_targets(height, lut, cw, isaggre=isaggre)}
         if sr_model is not None:

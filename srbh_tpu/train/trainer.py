@@ -98,7 +98,7 @@ def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
                  ishir: bool, num_sample: int = 0, shuffle: bool = True,
                  preweight: Optional[str] = None, sharding=None,
                  device_put: bool = True, drop_last: bool = False,
-                 device_aug: bool = False):
+                 device_aug: bool = False, device_norm: bool = False):
     """Loader with async device prefetch: batches are already on device
     (optionally data-axis sharded) when the step consumes them, so the jitted
     step never blocks on a synchronous host->device copy."""
@@ -108,15 +108,18 @@ def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
         aug=aug, num_sample=num_sample, s1dir=cfg.s1dir, s2dir=cfg.s2dir,
         heightdir=cfg.bhdir, preweight=preweight, isaggre=isaggre,
         ishir=ishir, hir=cfg.hir, nchans=cfg.nchanss2, seed=cfg.seed,
-        device_aug=device_aug)
+        device_aug=device_aug, device_norm=device_norm)
     return DataLoader(ds, batch_size=cfg.batch_size, shuffle=shuffle,
                       num_workers=cfg.num_workers, seed=cfg.seed,
                       drop_last=drop_last, device_put=device_put,
                       sharding=sharding)
 
 
-def _to_device_batch(batch, isaggre=True, device_aug=False):
-    if device_aug:
+def _to_device_batch(batch, isaggre=True, device_aug=False,
+                     device_norm=False):
+    if device_norm:
+        keys = ["s2", "s1", "height"]  # raw DNs; normalise in-jit
+    elif device_aug:
         keys = ["image", "height"]  # targets are built in-jit
     else:
         keys = ["image", "height", "build", "weight"]
@@ -142,13 +145,16 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
     sharding = pmesh.batch_sharding(mesh) if mesh is not None else None
 
     # fixed-shape sharded batches on a mesh: drop ragged tails
-    device_aug = getattr(cfg, "device_aug", False)
+    device_norm = getattr(cfg, "device_norm", False)
+    # device_norm builds on the device_aug step (normalise -> aug -> targets)
+    device_aug = getattr(cfg, "device_aug", False) or device_norm
     trainloader = _make_loader(cfg, cfg.trainlist, aug=not device_aug,
                                isaggre=cfg.isaggre, ishir=cfg.ishir,
                                num_sample=cfg.num_sample,
                                preweight=cfg.preweight, sharding=sharding,
                                drop_last=mesh is not None,
-                               device_aug=device_aug)
+                               device_aug=device_aug,
+                               device_norm=device_norm)
     valloader = _make_loader(cfg, cfg.vallist, aug=False, isaggre=False,
                              ishir=False, num_sample=cfg.num_sample // 2,
                              shuffle=False, sharding=sharding,
@@ -193,10 +199,13 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         valloader.epoch = start_epoch
         print(f"=> resumed epoch {start_epoch}")
 
-    train_step = make_train_step(model, sr, cfg.rgbseq, cfg.isaggre,
-                                 seed=cfg.seed, device_aug=device_aug,
-                                 hir=cfg.hir,
-                                 class_weight=trainloader.dataset.heightweight)
+    ds = trainloader.dataset
+    train_step = make_train_step(
+        model, sr, cfg.rgbseq, cfg.isaggre, seed=cfg.seed,
+        device_aug=device_aug, hir=cfg.hir, class_weight=ds.heightweight,
+        norm={"s2_off": ds.s2_off, "s2_scale": ds.s2_scale,
+              "s1_off": ds.s1_off, "s1_scale": ds.s1_scale}
+        if device_norm else None)
     eval_step = make_eval_step(model, sr, cfg.rgbseq)
     if mesh is not None:
         state = pmesh.replicate(state, mesh)
@@ -223,7 +232,8 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         for i, batch in enumerate(trainloader):
             if max_steps_per_epoch and i >= max_steps_per_epoch:
                 break
-            b = _to_device_batch(batch, cfg.isaggre, device_aug=device_aug)
+            b = _to_device_batch(batch, cfg.isaggre, device_aug=device_aug,
+                                 device_norm=device_norm)
             state, m = train_step(state, sr_params, b, jnp.asarray(lr))
             n = b["image"].shape[0]
             losses.update(float(m["loss"]), n)

@@ -238,6 +238,16 @@ class TestConicWkts:
         assert lon == pytest.approx(x2, abs=1e-4)
         assert lat == pytest.approx(y2, abs=1e-4)
 
+    def test_epsg_5070_wkt_and_code_roundtrip(self):
+        p = crs.from_epsg(5070)
+        assert crs.epsg_of(p) == 5070
+        q = crs.from_wkt(crs.wkt_for_epsg(5070))
+        assert crs.epsg_of(q) == 5070
+        np.testing.assert_allclose(p.forward(-104.99, 39.74),
+                                   q.forward(-104.99, 39.74), atol=1e-6)
+        # a WGS84 UTM is NOT mislabelled as 5070
+        assert crs.epsg_of(crs.from_epsg(32613)) == 32613
+
     def test_unknown_datum_without_towgs84_still_raises(self):
         wkt = self.ALBERS_5070.replace("North_American_Datum_1983",
                                        "Pulkovo_1942")

@@ -108,9 +108,9 @@ class TestTargets:
         stats = rng.uniform(1, 100, 256)
         w = hierweight(stats, DEFAULT_HIR).astype(np.float32)
 
+        lut_d, w_d = jnp.asarray(lut), jnp.asarray(w)  # concrete closures
         out = jax.jit(lambda h: da.build_targets(
-            h, jnp.asarray(lut), jnp.asarray(w), isaggre=True)
-        )(jnp.asarray(height))
+            h, lut_d, w_d, isaggre=True))(jnp.asarray(height))
 
         build_host = lut[height.astype(np.int64).clip(0, 255)]
         np.testing.assert_array_equal(np.asarray(out["build"]), build_host)
@@ -178,6 +178,27 @@ class TestDatasetRawMode:
         with pytest.raises(ValueError, match="device_aug"):
             S12GlobeDataset(str(tmp_path / "dl.csv"), str(tmp_path),
                             aug=True, device_aug=True, **kw)
+
+        # device_norm: raw DNs on the wire; in-jit normalise reproduces
+        # the host image to <=1 float32 ulp (the host computes the affine
+        # in float64 then rounds; the device is pure f32)
+        rawn = S12GlobeDataset(str(tmp_path / "dl.csv"), str(tmp_path),
+                               aug=False, device_aug=True, device_norm=True,
+                               **kw)
+        sn = rawn[0]
+        assert set(sn) == {"s2", "s1", "height", "path"}
+        assert sn["s2"].dtype == np.uint16
+        s2n = ((jnp.asarray(sn["s2"]).astype(jnp.float32)
+                - jnp.asarray(rawn.s2_off, jnp.float32))
+               / jnp.asarray(rawn.s2_scale, jnp.float32))
+        s1n = ((jnp.asarray(sn["s1"]).astype(jnp.float32)
+                - jnp.asarray(rawn.s1_off, jnp.float32))
+               / jnp.asarray(rawn.s1_scale, jnp.float32))
+        img = np.asarray(jnp.clip(jnp.concatenate([s2n, s1n], -1), 0, 1))
+        np.testing.assert_allclose(img, f["image"], atol=1.5e-7, rtol=0)
+        with pytest.raises(ValueError, match="device_norm"):
+            S12GlobeDataset(str(tmp_path / "dl.csv"), str(tmp_path),
+                            aug=False, device_norm=True, **kw)
 
 
 class TestBatchStatistics:

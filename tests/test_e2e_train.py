@@ -72,6 +72,18 @@ class TestTrainDriver:
         state = trainer.main(cfg, writer=None)
         assert int(state.step) == 3 * 2  # 2 old + 1 new epoch
 
+    def test_device_aug_epoch(self, workdir, tmp_path):
+        """--device_aug trains end-to-end through trainer.main: the loader
+        ships image+uint8 height only, the jitted step builds augmentation
+        + targets in-jit (ops/device_aug.py)."""
+        cfg = make_cfg(workdir)
+        cfg.logdir = str(tmp_path / "logs_devaug")
+        cfg.maxepoch = 1
+        cfg.device_aug = True
+        state = trainer.main(cfg, writer=None)
+        assert int(state.step) == 2
+        assert os.path.isdir(os.path.join(cfg.logdir, "checkpoint"))
+
     def test_noaggre_epoch_with_tb_writer(self, workdir, tmp_path):
         """isaggre=False trains with the auto-created TB writer: the
         lossweight scalar loop must follow the actual log_vars count

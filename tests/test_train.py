@@ -135,6 +135,47 @@ class TestDeviceAugStep:
             losses.append(float(m["loss"]))
         assert losses[0] == losses[1]  # same seed+step -> same augmentation
 
+    def test_device_norm_matches_device_aug(self, pipeline):
+        """norm= (raw s2 DNs + s1 in, normalise in-jit) must match the
+        device_aug step fed the host-normalised image. Not bitwise: XLA's
+        f32 division is reciprocal-based, 1 ulp off numpy's exactly-rounded
+        divide (measured: 1-ulp input deltas on ~1% of pixels), so losses
+        and updated params agree to float noise, not bits."""
+        from srbh_tpu.ops.hierarchy import DEFAULT_HIR
+
+        rng = np.random.default_rng(5)
+        s2 = rng.integers(0, 5000, (BATCH, TILE, TILE, 6)).astype(np.uint16)
+        s1 = rng.uniform(-25, 5, (BATCH, TILE, TILE, 2)).astype(np.float32)
+        norm = {"s2_off": np.zeros(6, np.float32),
+                "s2_scale": np.full(6, 5000.0, np.float32),
+                "s1_off": np.full(2, -25.0, np.float32),
+                "s1_scale": np.full(2, 30.0, np.float32)}
+        image = np.concatenate(
+            [(s2.astype(np.float32) - norm["s2_off"]) / norm["s2_scale"],
+             (s1 - norm["s1_off"]) / norm["s1_scale"]], -1).clip(0, 1)
+        height = pipeline["batch"]["height"]
+
+        kw = dict(isaggre=True, seed=7, device_aug=True,
+                  hir=DEFAULT_HIR, class_weight=np.ones(7))
+        step_a = make_train_step(pipeline["model"], pipeline["sr"], **kw)
+        step_n = make_train_step(pipeline["model"], pipeline["sr"],
+                                 norm=norm, **kw)
+        sa = pipeline["fresh_state"]()
+        sa, ma = step_a(sa, pipeline["sr_params"],
+                        {"image": jnp.asarray(image), "height": height},
+                        jnp.asarray(1e-3))
+        sn = pipeline["fresh_state"]()
+        sn, mn = step_n(sn, pipeline["sr_params"],
+                        {"s2": jnp.asarray(s2), "s1": jnp.asarray(s1),
+                         "height": height}, jnp.asarray(1e-3))
+        assert float(ma["loss"]) == pytest.approx(float(mn["loss"]),
+                                                  rel=1e-5)
+        pa = jax.tree_util.tree_leaves(sa.params)
+        pn = jax.tree_util.tree_leaves(sn.params)
+        for a, b in zip(pa, pn):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3)  # Adam step-1 sign noise
+
     def test_different_steps_draw_different_augmentations(self, pipeline):
         from srbh_tpu.ops.hierarchy import DEFAULT_HIR
 
