@@ -521,7 +521,9 @@ def from_wkt(wkt: str):
             a=a, f=f, towgs84=towgs84)
     um = _UTM_RE.search(wkt)
     if um and not name:
-        return utm(int(um.group(1)), um.group(2).upper() == "S", a, f)
+        proj = utm(int(um.group(1)), um.group(2).upper() == "S", a, f)
+        proj.towgs84 = towgs84  # carry the datum shift through the fallback
+        return proj
     raise ValueError(f"unsupported projection {name!r}")
 
 
@@ -632,6 +634,12 @@ def epsg_of(p) -> Optional[int]:
     projection object (or WKT string), None when it is not one of the
     supported canonical forms (WGS84 geographic / WGS84 UTM zones)."""
     p = as_projection(p)
+    # a nonzero TOWGS84 means the coordinates live on a shifted datum:
+    # stamping them with a WGS84/NAD83 EPSG code would be a silent
+    # metres-level datum mislabel
+    tw = getattr(p, "towgs84", None)
+    if tw and any(abs(v) > 1e-12 for v in tw):
+        return None
     if (isinstance(p, AlbersEqualArea) and (p.lat1, p.lat2, p.lat0, p.lon0)
             == (29.5, 45.5, 23.0, -96.0)
             and p.false_easting == 0.0 and p.false_northing == 0.0

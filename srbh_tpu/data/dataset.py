@@ -107,6 +107,13 @@ class S12GlobeDataset:
         # on the wire than the normalised float32 image
         if device_norm and not device_aug:
             raise ValueError("device_norm requires device_aug")
+        if device_norm and (self.s2_off is None or self.s1_off is None):
+            # the in-jit normaliser needs both tables up front; failing here
+            # keeps the "never silently skipped" stats contract (the step
+            # would otherwise die with an obscure jnp.asarray(None) error)
+            raise FileNotFoundError(
+                f"device_norm needs both stats tables: "
+                f"{self._s2_stats_path} and {self._s1_stats_path}")
         self.device_norm = device_norm
         # per-sample pandas .iloc costs ~2 ms; resolve rows to tuples once
         self._rows = list(self.datalist.itertuples(index=False, name=None))
@@ -140,21 +147,25 @@ class S12GlobeDataset:
         return img, height, os.path.join(self.rootname, s2dir, basename)
 
     def __getitem__(self, index):
-        img, height, img_path = self._load_pair(index)
         if self.device_norm:
             if type(self) is not S12GlobeDataset:
                 raise NotImplementedError(
                     "device_norm is only wired for the S12 main path")
             # raw-DN mode: normalisation + clip + aug + targets all run
-            # in-jit; s2 keeps its file dtype (uint16) on the wire
-            basename, s1dir, s2dir, _ = self._rows[index][:4]
+            # in-jit; s2 keeps its file dtype (uint16) on the wire. Reads
+            # each raster ONCE (no _load_pair float32 concat)
+            basename, s1dir, s2dir, bhdir = self._rows[index][:4]
             s2 = read_tiff(os.path.join(self.rootname, s2dir, basename)
                            )[..., : self.nchans]
+            s1 = read_tiff(os.path.join(self.rootname, s1dir, basename))
+            hpath = os.path.join(self.rootname, bhdir, basename)
+            height = (read_tiff(hpath)[..., 0] if os.path.exists(hpath)
+                      else np.ones((256, 256), np.uint8))
             return {"s2": np.ascontiguousarray(s2),
-                    "s1": np.ascontiguousarray(
-                        img[..., self.nchans:].astype(np.float32)),
+                    "s1": np.ascontiguousarray(s1.astype(np.float32)),
                     "height": np.ascontiguousarray(height),
-                    "path": img_path}
+                    "path": os.path.join(self.rootname, s2dir, basename)}
+        img, height, img_path = self._load_pair(index)
         # The reference recipe is: x4 nearest up (so augmentation acts on the
         # 2.5 m grid) -> aug -> normalise -> x0.25 nearest -> clip
         # (BH_loader.py:354-369). x4-up then [::4] is the identity, flips /

@@ -269,6 +269,14 @@ def build_sentinel12_manifest(query_shp: str, ref_shp: str, resroot: str,
     tiles = [r for r in read_shapefile(ref_shp)
              if not (r.bounds[2] < qb[0] or r.bounds[0] > qb[2]
                      or r.bounds[3] < qb[1] or r.bounds[1] > qb[3])]
+    import shlex
+
+    def _cmd(url, respath):
+        # quoted: respath may contain spaces; runs correctly both via the
+        # manifest shell script and the SRBH_ALLOW_NETWORK subprocess path
+        return ("aws s3 cp " + shlex.quote(str(url)) + " "
+                + shlex.quote(respath) + " --no-sign-request")
+
     fplist, commands = [], []
     for typ in typelist:
         respath = os.path.join(resroot, typ)
@@ -283,8 +291,7 @@ def build_sentinel12_manifest(query_shp: str, ref_shp: str, resroot: str,
                 url = (f"s3://esa-worldcover/{ver[0]}/"
                        f"ESA_WorldCover_10m_{yr}_{ver[1]}_{tile}_Map.tif")
                 fplist.append(os.path.join(respath, os.path.basename(url)))
-                commands.append(
-                    f"aws s3 cp {url} {respath} --no-sign-request")
+                commands.append(_cmd(url, respath))
         else:
             # the reference grid ships as .fgb with full column names
             # ("s1_vvvhratio_2020"); converted shapefiles truncate DBF
@@ -298,8 +305,7 @@ def build_sentinel12_manifest(query_shp: str, ref_shp: str, resroot: str,
                     continue
                 fplist.append(os.path.join(respath,
                                            os.path.basename(str(url))))
-                commands.append(
-                    f"aws s3 cp {url} {respath} --no-sign-request")
+                commands.append(_cmd(url, respath))
     return fplist, commands
 
 
@@ -325,20 +331,23 @@ def download_sentinel12(query_shp: str, resroot: str,
     if not todo:
         return fplist
     if os.environ.get("SRBH_ALLOW_NETWORK") == "1":
+        import shlex
         import subprocess
 
         for typ in typelist:
             os.makedirs(os.path.join(resroot, typ), exist_ok=True)
         for c in todo:
-            subprocess.run(c.split(), check=True)
+            subprocess.run(shlex.split(c), check=True)
         return fplist
     os.makedirs(resroot, exist_ok=True)
     manifest = os.path.join(resroot, "download_manifest.sh")
+    import shlex
+
     with open(manifest, "w") as f:
         f.write("#!/bin/sh\n# generated by srbh_tpu (zero-egress image);\n"
                 "# run off-device to fetch the WorldCover composites\n")
         for typ in typelist:
-            f.write(f"mkdir -p {os.path.join(resroot, typ)}\n")
+            f.write(f"mkdir -p {shlex.quote(os.path.join(resroot, typ))}\n")
         f.write("\n".join(todo) + "\n")
     print(f"download_sentinel12: no network egress here — wrote "
           f"{len(todo)} copy commands to {manifest}")

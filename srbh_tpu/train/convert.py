@@ -275,10 +275,7 @@ def convert_efficientnet_imagenet(sd: Mapping,
     enc_p, enc_s = _convert_encoder(sd, "", encoder_name)
     stem = enc_p["stem_conv"]["kernel"]  # HWIO, I == 3
     if in_channels and in_channels != stem.shape[2]:
-        reps = [stem[:, :, i % stem.shape[2]: i % stem.shape[2] + 1, :]
-                for i in range(in_channels)]
-        enc_p["stem_conv"]["kernel"] = (
-            np.concatenate(reps, axis=2) * (stem.shape[2] / in_channels))
+        enc_p["stem_conv"]["kernel"] = _widen_stem(stem, in_channels)
     return {"params": enc_p, "batch_stats": enc_s}
 
 

@@ -38,7 +38,8 @@ from srbh_tpu.train.state import TrainState
 
 def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
                     seed: int = 0, device_aug: bool = False,
-                    hir=None, class_weight=None, norm=None):
+                    hir=None, class_weight=None, norm=None,
+                    ishir: bool = True):
     """Build the jitted aggre+weight train step (train.py:225-271).
 
     Batch dict (NHWC): ``image`` (N,64,64,8), ``height`` (N,256,256),
@@ -68,6 +69,10 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
         from srbh_tpu.ops.device_aug import augment_batch, build_targets
         from srbh_tpu.ops.hierarchy import DEFAULT_HIR, build_hierarchy_lut
 
+        if isaggre and not ishir:
+            # mirror the dataset's guard (dataset.py: aggregated weights
+            # index the hierarchy LUT)
+            raise ValueError("isaggre=True requires ishir=True")
         lut = jnp.asarray(build_hierarchy_lut(hir or DEFAULT_HIR))
         cw = jnp.asarray(class_weight if class_weight is not None
                          else jnp.ones(len(hir or DEFAULT_HIR) - 1),
@@ -97,8 +102,16 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
             img, height = augment_batch(
                 jax.random.fold_in(aug_root, state.step),
                 image, batch["height"])
-            batch = {"image": img,
-                     **build_targets(height, lut, cw, isaggre=isaggre)}
+            if ishir:
+                batch = {"image": img,
+                         **build_targets(height, lut, cw, isaggre=isaggre)}
+            else:
+                # ishir=False host semantics (dataset.py:_finish_sample):
+                # binary build mask, unit weights
+                hf = height.astype(jnp.float32)
+                batch = {"image": img, "height": hf,
+                         "build": (hf > 0).astype(jnp.int32),
+                         "weight": jnp.ones_like(hf)}
         if sr_model is not None:
             sr_fea = sr_model.apply(sr_params, batch["image"][..., rgb],
                                     features_only=True)

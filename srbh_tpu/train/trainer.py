@@ -203,6 +203,7 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
     train_step = make_train_step(
         model, sr, cfg.rgbseq, cfg.isaggre, seed=cfg.seed,
         device_aug=device_aug, hir=cfg.hir, class_weight=ds.heightweight,
+        ishir=cfg.ishir,
         norm={"s2_off": ds.s2_off, "s2_scale": ds.s2_scale,
               "s1_off": ds.s1_off, "s1_scale": ds.s1_scale}
         if device_norm else None)
@@ -234,8 +235,10 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
                 break
             b = _to_device_batch(batch, cfg.isaggre, device_aug=device_aug,
                                  device_norm=device_norm)
+            # height is present in every mode (device_norm batches carry
+            # s2/s1 instead of image)
+            n = b["height"].shape[0]
             state, m = train_step(state, sr_params, b, jnp.asarray(lr))
-            n = b["image"].shape[0]
             losses.update(float(m["loss"]), n)
             rmses.update(float(m["rmse"]), n)
         log_vars = np.asarray(state.log_vars)

@@ -197,17 +197,20 @@ def cam_to_label(cam: np.ndarray, bkg_thre: float = 0.3,
 
 
 def _bilateral_message(q: np.ndarray, image: np.ndarray, sxy: float,
-                       srgb: float, radius: int) -> np.ndarray:
-    """Windowed-exact joint-bilateral message: for each pixel, the
+                       srgb: float, radius: int,
+                       stride: int = 1) -> np.ndarray:
+    """Windowed joint-bilateral message: for each pixel, the
     appearance-AND-space weighted sum of its neighbours' label
-    distributions. Exact within ``radius`` (messages beyond it are
-    truncated — weights there are <= exp(-radius^2/(2 sxy^2)))."""
+    distributions. Exact within ``radius`` at ``stride=1``; for
+    long-range kernels (pydensecrf's sxy=80) the window is DILATED —
+    offsets sampled at ``stride`` px still cover +-radius*stride, a
+    standard lattice-style approximation of the dense kernel."""
     h, w, k = q.shape
     img = image.astype(np.float32)
     msg = np.zeros_like(q)
     norm = np.zeros((h, w, 1), q.dtype)
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
+    for dy in range(-radius * stride, radius * stride + 1, stride):
+        for dx in range(-radius * stride, radius * stride + 1, stride):
             if dy == 0 and dx == 0:
                 continue  # pydensecrf convention: no self-message
             if abs(dy) >= h or abs(dx) >= w:
@@ -236,9 +239,12 @@ def crf_refine(prob: np.ndarray, image: np.ndarray, iters: int = 5,
       ``addPairwiseGaussian(sxy=3, compat=3)``;
     * optionally a joint-bilateral appearance kernel ``bilateral =
       (sxy_b, srgb, compat_b)`` — ``addPairwiseBilateral(sxy=80, srgb=13,
-      compat=10)``'s edge-aware term, computed windowed-exact within
-      ``radius`` (default ``min(3*sxy_b, 24)`` px; validated against a
-      brute-force dense oracle in tests/test_crf.py).
+      compat=10)``'s edge-aware term. Computed over a window of
+      ``2*radius+1`` sampled offsets (default radius 24): exact when
+      ``3*sxy_b <= radius``; for longer-range kernels the window is
+      DILATED (stride ``ceil(3*sxy_b/radius)``) so it still spans +-3
+      sigma — the lattice-style approximation of the dense kernel.
+      Validated against a brute-force dense oracle in tests/test_crf.py.
 
     Update rule per iteration: ``Q = softmax(log(prob) + sum_m compat_m *
     normalised_message_m)`` — neighbourhood consensus pulls each pixel's
@@ -253,9 +259,11 @@ def crf_refine(prob: np.ndarray, image: np.ndarray, iters: int = 5,
         logits = np.log(np.clip(prob, 1e-8, 1.0)) + compat * msg
         if bilateral is not None:
             sxy_b, srgb, compat_b = bilateral
-            r = radius if radius is not None else int(min(3 * sxy_b, 24))
+            r = radius if radius is not None else min(int(3 * sxy_b), 24)
+            r = max(r, 1)
+            stride = max(1, -(-int(3 * sxy_b) // r))  # span +-3 sigma
             logits = logits + compat_b * _bilateral_message(
-                q, image, sxy_b, srgb, r)
+                q, image, sxy_b, srgb, r, stride)
         e = np.exp(logits - logits.max(axis=-1, keepdims=True))
         q = e / e.sum(axis=-1, keepdims=True)
     return q

@@ -84,6 +84,17 @@ class TestTrainDriver:
         assert int(state.step) == 2
         assert os.path.isdir(os.path.join(cfg.logdir, "checkpoint"))
 
+    def test_device_norm_epoch(self, workdir, tmp_path):
+        """--device_norm trains end-to-end: raw uint16 s2 + f32 s1 on the
+        wire, normalise+aug+targets in-jit. Regression: the epoch loop read
+        b['image'] for the batch count and crashed with KeyError."""
+        cfg = make_cfg(workdir)
+        cfg.logdir = str(tmp_path / "logs_devnorm")
+        cfg.maxepoch = 1
+        cfg.device_norm = True  # implies device_aug in the trainer
+        state = trainer.main(cfg, writer=None)
+        assert int(state.step) == 2
+
     def test_noaggre_epoch_with_tb_writer(self, workdir, tmp_path):
         """isaggre=False trains with the auto-created TB writer: the
         lossweight scalar loop must follow the actual log_vars count
