@@ -1,13 +1,19 @@
-"""Coordinate reference systems: geographic <-> Transverse Mercator (UTM).
+"""Coordinate reference systems for the height-product workflows.
 
-The reference leans on GDAL/OGR for every cross-projection step of the
-height-product workflows — ``osr.CoordinateTransformation`` in ``clip_vrt``
+The reference leans on GDAL/OGR for every cross-projection step —
+``osr.CoordinateTransformation`` in ``clip_vrt``
 (demo_preprocess_height_v2.py:608-655), ``gdal.Warp(dstSRS=…)`` in
 ``clip_tiff_whole`` (:1317-1386) and ``Raster_extent_prj`` (:362-427).
-This module is the self-contained equivalent: an exact-ellipsoid
-Transverse Mercator (Karney/Krüger n-series, order n^4 — sub-millimetre
-inside a UTM zone) plus a minimal WKT1 reader covering the PROJCS/GEOGCS
-strings that GeoTIFF ``.prj`` sidecars carry.
+This module is the self-contained equivalent:
+
+* an exact-ellipsoid Transverse Mercator (Karney/Krüger n-series, order
+  n^4 — sub-millimetre inside a UTM zone);
+* ellipsoidal Lambert Conformal Conic (1SP/2SP) and Albers Equal-Area
+  (incl. EPSG:5070 Conus Albers), Snyder-worked-example-anchored;
+* 7-parameter TOWGS84 Helmert datum shifts applied through the WGS84
+  geocentric hub in :func:`transform`;
+* a WKT1 reader/writer covering the PROJCS/GEOGCS strings that GeoTIFF
+  ``.prj`` sidecars and product metadata carry.
 
 Everything is vectorised numpy over degrees; no GDAL, no pyproj.
 """
