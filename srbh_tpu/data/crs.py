@@ -10,6 +10,9 @@ This module is the self-contained equivalent:
   n^4 — sub-millimetre inside a UTM zone);
 * ellipsoidal Lambert Conformal Conic (1SP/2SP) and Albers Equal-Area
   (incl. EPSG:5070 Conus Albers), Snyder-worked-example-anchored;
+* ellipsoidal Polar Stereographic (variants A/B: UPS, NSIDC EPSG:3413/
+  3976, Antarctic EPSG:3031) and Mercator (EPSG:3395) plus the spherical
+  Pseudo-Mercator (EPSG:3857), EPSG-GN7-2-worked-example-anchored;
 * 7-parameter TOWGS84 Helmert datum shifts applied through the WGS84
   geocentric hub in :func:`transform`;
 * a WKT1 reader/writer covering the PROJCS/GEOGCS strings that GeoTIFF
@@ -343,6 +346,169 @@ class AlbersEqualArea:
 
 
 # ---------------------------------------------------------------------------
+# Azimuthal / cylindrical projections (Snyder PP 1395 §21 / §7; EPSG
+# Guidance Note 7-2): the high-latitude products (NSIDC EPSG:3413,
+# Antarctic EPSG:3031, UPS) and the web-tiled mosaics (EPSG:3857/3395) —
+# the remaining dstSRS families of demo_preprocess_height_v2.py:608-655.
+# ---------------------------------------------------------------------------
+
+
+class PolarStereographic:
+    """Ellipsoidal Polar Stereographic — EPSG method 9810 (variant A,
+    origin at the pole, ``k0`` given) when ``|lat_ts| == 90``, else
+    EPSG 9829 (variant B, true scale at the standard parallel ``lat_ts``,
+    from which ``k0 = m_F * C / (2 t_F)`` is derived). Snyder 21-33/34.
+    The sign of ``lat_ts`` selects the aspect (north/south pole)."""
+
+    is_geographic = False
+
+    def __init__(self, lat_ts: float = 90.0, lon0: float = 0.0,
+                 k0: Optional[float] = None,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = _A, f: float = _F, towgs84=None):
+        self.lat_ts, self.lon0 = float(lat_ts), float(lon0)
+        self.north = self.lat_ts >= 0.0
+        self.false_easting = float(false_easting)
+        self.false_northing = float(false_northing)
+        self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
+        e = self._e = math.sqrt(f * (2.0 - f))
+        self._C = math.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e))
+        if abs(abs(self.lat_ts) - 90.0) < 1e-9:  # variant A
+            self.k0 = 1.0 if k0 is None else float(k0)
+        else:  # variant B: k0 derived from the standard parallel
+            if k0 is not None and not math.isclose(float(k0), 1.0,
+                                                   rel_tol=1e-9):
+                raise ValueError(
+                    "Polar Stereographic: give EITHER a standard parallel "
+                    "(variant B) OR a scale factor at the pole (variant A)")
+            pf = math.radians(abs(self.lat_ts))
+            mf = float(_conic_m(np.asarray(pf), e))
+            tf = float(_conic_t(np.asarray(pf), e))
+            self.k0 = mf * self._C / (2.0 * tf)
+
+    def forward(self, lon: ArrayLike, lat: ArrayLike):
+        lon = np.asarray(lon, float)
+        lat = np.asarray(lat, float)
+        s = 1.0 if self.north else -1.0
+        t = _conic_t(np.radians(s * lat), self._e)
+        rho = 2.0 * self.a * self.k0 * t / self._C
+        dlon = np.radians((lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        x = self.false_easting + rho * np.sin(dlon)
+        y = self.false_northing - s * rho * np.cos(dlon)
+        return x, y
+
+    def inverse(self, x: ArrayLike, y: ArrayLike):
+        s = 1.0 if self.north else -1.0
+        dx = np.asarray(x, float) - self.false_easting
+        dy = np.asarray(y, float) - self.false_northing
+        rho = np.hypot(dx, dy)
+        t = rho * self._C / (2.0 * self.a * self.k0)
+        e = self._e
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)  # conformal start
+        for _ in range(12):
+            es = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+        lon = self.lon0 + np.degrees(np.arctan2(dx, -s * dy))
+        lon = (lon + 180.0) % 360.0 - 180.0
+        return lon, s * np.degrees(phi)
+
+    def __repr__(self):
+        return (f"PolarStereographic(lat_ts={self.lat_ts}, "
+                f"lon0={self.lon0}, k0={self.k0})")
+
+
+class Mercator:
+    """Ellipsoidal Mercator — EPSG 9804 (variant A, ``k0`` given) /
+    EPSG 9805 (variant B, ``lat_ts`` standard parallel, k0 = m(lat_ts)).
+    ``y`` is ``a k0`` times the isometric latitude, i.e. ``-a k0 ln t``
+    with the same Snyder 15-9 ``t`` the anchored conformal-conic code
+    uses (EPSG:3395 World Mercator)."""
+
+    is_geographic = False
+
+    def __init__(self, k0: float = 1.0, lat_ts: Optional[float] = None,
+                 lon0: float = 0.0, false_easting: float = 0.0,
+                 false_northing: float = 0.0,
+                 a: float = _A, f: float = _F, towgs84=None):
+        self.lon0 = float(lon0)
+        self.lat_ts = None if lat_ts is None else float(lat_ts)
+        self.false_easting = float(false_easting)
+        self.false_northing = float(false_northing)
+        self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
+        e = self._e = math.sqrt(f * (2.0 - f))
+        if lat_ts is not None:
+            self.k0 = float(_conic_m(np.asarray(math.radians(lat_ts)), e))
+        else:
+            self.k0 = float(k0)
+
+    def forward(self, lon: ArrayLike, lat: ArrayLike):
+        lon = np.asarray(lon, float)
+        phi = np.radians(np.asarray(lat, float))
+        x = self.false_easting + self.a * self.k0 * np.radians(
+            (lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        y = self.false_northing - self.a * self.k0 * np.log(
+            _conic_t(phi, self._e))
+        return x, y
+
+    def inverse(self, x: ArrayLike, y: ArrayLike):
+        dx = np.asarray(x, float) - self.false_easting
+        dy = np.asarray(y, float) - self.false_northing
+        lon = self.lon0 + np.degrees(dx / (self.a * self.k0))
+        t = np.exp(-dy / (self.a * self.k0))
+        e = self._e
+        phi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(12):
+            es = e * np.sin(phi)
+            phi = np.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - es) / (1.0 + es)) ** (e / 2.0))
+        return lon, np.degrees(phi)
+
+    def __repr__(self):
+        return f"Mercator(k0={self.k0}, lon0={self.lon0})"
+
+
+class PseudoMercator:
+    """Spherical "Popular Visualisation Pseudo-Mercator" (EPSG method
+    1024; EPSG:3857) — WGS84 geographic coordinates mapped with the
+    SPHERICAL Mercator formulas on R = a. NOT the ellipsoidal Mercator:
+    the two differ by up to ~21 km in northing (EPSG GN7-2 warns the
+    WKT1 encoding via Mercator_1SP + PROJ4 extension is deliberate)."""
+
+    is_geographic = False
+
+    def __init__(self, lon0: float = 0.0, false_easting: float = 0.0,
+                 false_northing: float = 0.0,
+                 a: float = _A, f: float = _F, towgs84=None):
+        self.lon0 = float(lon0)
+        self.false_easting = float(false_easting)
+        self.false_northing = float(false_northing)
+        self.a, self.f = a, f  # the DATUM stays WGS84 ellipsoidal
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
+
+    def forward(self, lon: ArrayLike, lat: ArrayLike):
+        lon = np.asarray(lon, float)
+        phi = np.radians(np.asarray(lat, float))
+        x = self.false_easting + self.a * np.radians(
+            (lon - self.lon0 + 180.0) % 360.0 - 180.0)
+        y = self.false_northing + self.a * np.log(
+            np.tan(np.pi / 4.0 + phi / 2.0))
+        return x, y
+
+    def inverse(self, x: ArrayLike, y: ArrayLike):
+        dx = np.asarray(x, float) - self.false_easting
+        dy = np.asarray(y, float) - self.false_northing
+        lon = self.lon0 + np.degrees(dx / self.a)
+        lat = np.degrees(2.0 * np.arctan(np.exp(dy / self.a)) - np.pi / 2.0)
+        return lon, lat
+
+    def __repr__(self):
+        return f"PseudoMercator(lon0={self.lon0})"
+
+
+# ---------------------------------------------------------------------------
 # Datum shifts: TOWGS84 7-parameter Helmert (EPSG 9606 position-vector),
 # applied through geocentric coordinates when src/dst datums differ —
 # gdal.Warp(dstSRS=...)'s behaviour for TOWGS84-bearing SRS definitions.
@@ -525,6 +691,51 @@ def from_wkt(wkt: str):
             false_easting=params.get("false_easting", 0.0),
             false_northing=params.get("false_northing", 0.0),
             a=a, f=f, towgs84=towgs84)
+    if name in ("polar_stereographic", "polar_stereographic_(variant_b)",
+                "stereographic_north_pole", "stereographic_south_pole"):
+        # GDAL WKT1 encodes variant B's standard parallel as
+        # latitude_of_origin (scale_factor 1); ESRI's aliases use
+        # standard_parallel_1. |lat| == 90 selects variant A (k0 given).
+        lat_ts = params.get(
+            "latitude_of_origin",
+            params.get("standard_parallel_1",
+                       params.get("latitude_of_standard_parallel", 90.0)))
+        return PolarStereographic(
+            lat_ts=lat_ts,
+            lon0=params.get("central_meridian",
+                            params.get("longitude_of_origin", 0.0)),
+            k0=params.get("scale_factor"),
+            false_easting=params.get("false_easting", 0.0),
+            false_northing=params.get("false_northing", 0.0),
+            a=a, f=f, towgs84=towgs84)
+    if name in ("mercator_1sp", "mercator_2sp", "mercator",
+                "mercator_(variant_a)", "mercator_(variant_b)",
+                "popular_visualisation_pseudo_mercator"):
+        # EPSG:3857's WKT1 reads as Mercator_1SP but its semantics are
+        # SPHERICAL (EPSG method 1024) — GDAL marks it via the PROJCS
+        # name and/or a PROJ4 extension with +b == +a; honouring the
+        # ellipsoidal reading would be a ~21 km northing error
+        pj = re.search(r'PROJCS\s*\[\s*"([^"]*)"', wkt, re.IGNORECASE)
+        pname = (pj.group(1) if pj else "").lower()
+        ext = re.search(r'EXTENSION\s*\[\s*"PROJ4"\s*,\s*"([^"]*)"', wkt,
+                        re.IGNORECASE)
+        spherical = ("pseudo-mercator" in pname or "web mercator" in pname
+                     or name == "popular_visualisation_pseudo_mercator"
+                     or (ext is not None and "+a=6378137" in ext.group(1)
+                         and "+b=6378137" in ext.group(1)))
+        if spherical:
+            return PseudoMercator(
+                lon0=params.get("central_meridian", 0.0),
+                false_easting=params.get("false_easting", 0.0),
+                false_northing=params.get("false_northing", 0.0),
+                a=a, f=f, towgs84=towgs84)
+        return Mercator(
+            k0=params.get("scale_factor", 1.0),
+            lat_ts=params.get("standard_parallel_1"),
+            lon0=params.get("central_meridian", 0.0),
+            false_easting=params.get("false_easting", 0.0),
+            false_northing=params.get("false_northing", 0.0),
+            a=a, f=f, towgs84=towgs84)
     um = _UTM_RE.search(wkt)
     if um and not name:
         proj = utm(int(um.group(1)), um.group(2).upper() == "S", a, f)
@@ -553,6 +764,24 @@ def from_epsg(code: int):
     if code == 5070:
         return AlbersEqualArea(lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
                                a=_A_GRS80, f=_F_GRS80)
+    if code == 3857:  # WGS 84 / Pseudo-Mercator (web tiles)
+        return PseudoMercator()
+    if code == 3395:  # WGS 84 / World Mercator
+        return Mercator()
+    if code == 3413:  # WGS 84 / NSIDC Sea Ice Polar Stereographic North
+        return PolarStereographic(lat_ts=70.0, lon0=-45.0)
+    if code == 3976:  # WGS 84 / NSIDC Sea Ice Polar Stereographic South
+        return PolarStereographic(lat_ts=-70.0, lon0=0.0)
+    if code == 3031:  # WGS 84 / Antarctic Polar Stereographic
+        return PolarStereographic(lat_ts=-71.0, lon0=0.0)
+    if code in (5041, 32661):  # WGS 84 / UPS North (E,N)
+        return PolarStereographic(lat_ts=90.0, k0=0.994,
+                                  false_easting=2000000.0,
+                                  false_northing=2000000.0)
+    if code in (5042, 32761):  # WGS 84 / UPS South (E,N)
+        return PolarStereographic(lat_ts=-90.0, k0=0.994,
+                                  false_easting=2000000.0,
+                                  false_northing=2000000.0)
     raise ValueError(f"unsupported EPSG:{code}")
 
 
@@ -632,6 +861,29 @@ def wkt_for_epsg(code: int) -> str:
             'PARAMETER["standard_parallel_2",45.5],'
             'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
             'UNIT["metre",1]]')
+    if code == 3857:
+        return (
+            'PROJCS["WGS 84 / Pseudo-Mercator",' + _WKT_GEO_4326 + ','
+            'PROJECTION["Mercator_1SP"],'
+            'PARAMETER["central_meridian",0],'
+            'PARAMETER["scale_factor",1],'
+            'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+            'UNIT["metre",1],EXTENSION["PROJ4","+proj=merc +a=6378137 '
+            '+b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 +y_0=0 +k=1 +units=m '
+            '+nadgrids=@null +wktext +no_defs"]]')
+    if code in (3413, 3976, 3031):
+        lat, lon = {3413: (70, -45), 3976: (-70, 0), 3031: (-71, 0)}[code]
+        nm = {3413: "NSIDC Sea Ice Polar Stereographic North",
+              3976: "NSIDC Sea Ice Polar Stereographic South",
+              3031: "Antarctic Polar Stereographic"}[code]
+        return (
+            f'PROJCS["WGS 84 / {nm}",' + _WKT_GEO_4326 + ','
+            'PROJECTION["Polar_Stereographic"],'
+            f'PARAMETER["latitude_of_origin",{lat}],'
+            f'PARAMETER["central_meridian",{lon}],'
+            'PARAMETER["scale_factor",1],'
+            'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+            'UNIT["metre",1]]')
     raise ValueError(f"unsupported EPSG:{code}")
 
 
@@ -656,6 +908,22 @@ def epsg_of(p) -> Optional[int]:
         return None
     if getattr(p, "is_geographic", False):
         return 4326
+    if (isinstance(p, PseudoMercator) and p.lon0 == 0.0
+            and p.false_easting == 0.0 and p.false_northing == 0.0):
+        return 3857
+    if (isinstance(p, Mercator) and p.k0 == 1.0 and p.lon0 == 0.0
+            and p.false_easting == 0.0 and p.false_northing == 0.0):
+        return 3395
+    if isinstance(p, PolarStereographic):
+        key = (p.lat_ts, p.lon0, p.false_easting, p.false_northing)
+        code = {(70.0, -45.0, 0.0, 0.0): 3413,
+                (-70.0, 0.0, 0.0, 0.0): 3976,
+                (-71.0, 0.0, 0.0, 0.0): 3031,
+                (90.0, 0.0, 2000000.0, 2000000.0): 5041,
+                (-90.0, 0.0, 2000000.0, 2000000.0): 5042}.get(key)
+        if code in (5041, 5042) and not math.isclose(p.k0, 0.994):
+            return None  # variant A at the pole but not the UPS scale
+        return code
     if (isinstance(p, TransverseMercator) and p.k0 == 0.9996
             and p.false_easting == 500000.0 and p.lat0 == 0.0):
         zone = (p.lon0 + 183.0) / 6.0

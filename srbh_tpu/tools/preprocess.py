@@ -260,6 +260,16 @@ def build_sentinel12_manifest(query_shp: str, ref_shp: str, resroot: str,
           max(c.bounds[2] for c in cells), max(c.bounds[3] for c in cells)]
     qprj = Path(query_shp).with_suffix(".prj")
     gprj = Path(ref_shp).with_suffix(".prj")
+    if qprj.exists() != gprj.exists():
+        # fail loudly (crs.from_wkt policy): with only one sidecar we
+        # cannot tell whether the CRSs match, and silently assuming they
+        # do turns a projected-vs-geographic mismatch into an empty or
+        # wrong tile intersection with no error
+        missing = gprj if qprj.exists() else qprj
+        raise ValueError(
+            f"{missing}: missing .prj sidecar — cannot verify the query "
+            "and WorldCover grid share a CRS; ship BOTH sidecars (or "
+            "neither, which asserts a shared CRS)")
     if qprj.exists() and gprj.exists():
         qwkt, gwkt = qprj.read_text(), gprj.read_text()
         if qwkt.strip() != gwkt.strip():  # query -> grid CRS (ref :1223)

@@ -61,6 +61,13 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
     ``s1`` instead of ``image`` — within 1 f32 ulp of the host's per-band
     affine + [0,1] clip (XLA lowers f32 division via reciprocal, 1 ulp off
     numpy's exactly-rounded divide), and 2x fewer wire bytes for s2.
+    The host augments RAW DNs and clips last (dataset.py:175-190):
+    normalisation is affine and commutes with the bilinear rotation
+    (BORDER_REFLECT_101, no constant fill), clip does not — so this branch
+    normalises, augments, THEN clips, reproducing the host ordering. The
+    plain ``device_aug`` mode (host-normalised ``image`` on the wire)
+    cannot: the host already clipped at decode, so saturated pixels there
+    rotate post-clip — a documented residual divergence of that mode.
     Returns ``(state, metrics)`` with loss / rmse / log_vars.
     """
     rgb = jnp.asarray(rgb_idx)
@@ -87,21 +94,25 @@ def make_train_step(model, sr_model, rgb_idx=(0, 1, 2), isaggre: bool = True,
     def step(state: TrainState, sr_params, batch, lr):
         if device_aug:
             if norm is not None:
-                # in-jit normalisation of raw DNs: same op order as the
-                # host (subtract, divide, clip); <=1 f32 ulp vs numpy
-                # (XLA's reciprocal-based f32 division)
+                # in-jit normalisation of raw DNs; <=1 f32 ulp vs numpy
+                # (XLA's reciprocal-based f32 division). NOT clipped yet:
+                # the host clips AFTER augmentation (dataset.py:175-190)
                 s2 = ((batch["s2"].astype(jnp.float32)
                        - jnp.asarray(norm["s2_off"], jnp.float32))
                       / jnp.asarray(norm["s2_scale"], jnp.float32))
                 s1 = ((batch["s1"].astype(jnp.float32)
                        - jnp.asarray(norm["s1_off"], jnp.float32))
                       / jnp.asarray(norm["s1_scale"], jnp.float32))
-                image = jnp.clip(jnp.concatenate([s2, s1], axis=-1), 0, 1)
+                image = jnp.concatenate([s2, s1], axis=-1)
             else:
                 image = batch["image"]
             img, height = augment_batch(
                 jax.random.fold_in(aug_root, state.step),
                 image, batch["height"])
+            if norm is not None:
+                # host order: clip LAST — clip(rotate(x)) != rotate(clip(x))
+                # for saturated pixels, and the host rotates raw DNs
+                img = jnp.clip(img, 0, 1)
             if ishir:
                 batch = {"image": img,
                          **build_targets(height, lut, cw, isaggre=isaggre)}

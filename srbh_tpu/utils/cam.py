@@ -236,7 +236,13 @@ def crf_refine(prob: np.ndarray, image: np.ndarray, iters: int = 5,
     this image). Pairwise terms, negative-Potts compatibility:
 
     * a Gaussian spatial kernel (``sxy``, ``compat``) — pydensecrf's
-      ``addPairwiseGaussian(sxy=3, compat=3)``;
+      ``addPairwiseGaussian(sxy=3, compat=3)``. Like pydensecrf (and the
+      bilateral term below) the self-pixel is EXCLUDED and the message is
+      normalised per pixel over its in-image neighbours: the separable
+      blur runs with BORDER_CONSTANT zero-padding, the centre tap's
+      weight is subtracted, and the remainder is divided by the same
+      blur of a ones image — exactly the dense kernel truncated at
+      ±3 sigma;
     * optionally a joint-bilateral appearance kernel ``bilateral =
       (sxy_b, srgb, compat_b)`` — ``addPairwiseBilateral(sxy=80, srgb=13,
       compat=10)``'s edge-aware term. Computed over a window of
@@ -252,10 +258,20 @@ def crf_refine(prob: np.ndarray, image: np.ndarray, iters: int = 5,
     neighbours'.
     """
     q = prob.copy().astype(np.float32)
-    k = int(2 * round(2 * sxy) + 1)
+    k = int(2 * round(3 * sxy) + 1)  # window spans +-3 sigma
+    g1 = cv2.getGaussianKernel(k, sxy)
+    w0 = float(g1[k // 2, 0] ** 2)  # centre tap of the separable 2-D kernel
+
+    def _blur(a):
+        return cv2.GaussianBlur(a, (k, k), sxy,
+                                borderType=cv2.BORDER_CONSTANT)
+
+    # per-pixel normaliser: total in-image neighbour weight (self excluded)
+    gnorm = np.maximum(
+        _blur(np.ones(prob.shape[:2], np.float32)) - w0, 1e-8)[..., None]
     for _ in range(iters):
-        msg = np.stack([cv2.GaussianBlur(q[..., c], (k, k), sxy)
-                        for c in range(q.shape[-1])], axis=-1)
+        msg = np.stack([_blur(q[..., c]) - w0 * q[..., c]
+                        for c in range(q.shape[-1])], axis=-1) / gnorm
         logits = np.log(np.clip(prob, 1e-8, 1.0)) + compat * msg
         if bilateral is not None:
             sxy_b, srgb, compat_b = bilateral

@@ -61,17 +61,18 @@ class TestBilateralMessage:
 
 class TestCrfRefine:
     def test_full_refine_matches_dense_oracle(self):
-        """Bilateral-only config (compat=0 silences the Gaussian term,
-        whose cv2.GaussianBlur carrier includes the self-weight by design):
-        the mean-field loop + windowed bilateral messaging must match the
-        dense O(N^2) oracle exactly."""
+        """BOTH kernels active: the Gaussian spatial message (self-pixel
+        excluded, per-pixel normalised — the pydensecrf convention) and the
+        windowed bilateral message must reproduce the dense O(N^2) oracle.
+        sxy=2.5 makes the ±3-sigma blur window (k=17) cover every pair of
+        an 8x8 image, so the truncation is exactly zero."""
         rng = np.random.default_rng(1)
         h = w = 8
         img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
         prob = rng.dirichlet(np.ones(4), (h, w)).astype(np.float32)
-        got = crf_refine(prob, img, iters=3, sxy=1.5, compat=0.0,
+        got = crf_refine(prob, img, iters=3, sxy=2.5, compat=2.0,
                          bilateral=(2.0, 20.0, 10.0), radius=7)
-        want = _brute_force_mean_field(prob, img, 3, 1.5, 0.0,
+        want = _brute_force_mean_field(prob, img, 3, 2.5, 2.0,
                                        2.0, 20.0, 10.0)
         np.testing.assert_allclose(got, want, atol=1e-4)
         assert (np.argmax(got, -1) == np.argmax(want, -1)).all()

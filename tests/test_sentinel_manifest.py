@@ -53,6 +53,30 @@ class TestManifest:
         assert not any("N33" in f for f in fplist)
         assert fplist[0].startswith(str(tmp_path / "out"))
 
+    def test_single_prj_sidecar_fails_loudly(self, grids, tmp_path):
+        """ADVICE r3: with exactly one .prj present the CRSs cannot be
+        verified — silently assuming they match turns a projected-vs-
+        geographic mismatch into an empty/wrong intersection. Must raise."""
+        query_shp, grid_shp = grids
+        wgs84 = ('GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                 '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                 'UNIT["degree",0.0174532925199433]]')
+        qprj = tmp_path / "city.prj"
+        qprj.write_text(wgs84)
+        with pytest.raises(ValueError, match="prj"):
+            build_sentinel12_manifest(query_shp, grid_shp,
+                                      str(tmp_path / "out"))
+        # both sidecars present (same CRS): works again
+        (tmp_path / "grid.prj").write_text(wgs84)
+        fplist, _ = build_sentinel12_manifest(query_shp, grid_shp,
+                                              str(tmp_path / "out"))
+        assert len(fplist) == 4
+        # grid-only .prj raises too
+        qprj.unlink()
+        with pytest.raises(ValueError, match="prj"):
+            build_sentinel12_manifest(query_shp, grid_shp,
+                                      str(tmp_path / "out"))
+
     def test_landcover_type_uses_esa_url_schema(self, grids, tmp_path):
         query_shp, grid_shp = grids
         _, commands = build_sentinel12_manifest(

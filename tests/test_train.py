@@ -176,6 +176,63 @@ class TestDeviceAugStep:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-3)  # Adam step-1 sign noise
 
+    def test_device_norm_clips_after_augmentation(self, pipeline):
+        """ADVICE r3: the host augments RAW DNs and clips LAST
+        (dataset.py:175-190) — normalisation (affine) commutes with the
+        bilinear rotation, clip does not — so the device_norm branch must
+        clip AFTER the in-jit augmentation. Saturating s2 DNs (above the
+        stats max) pin the ordering against a plain step fed the manually
+        computed host-order batch."""
+        from srbh_tpu.ops.device_aug import augment_batch, build_targets
+        from srbh_tpu.ops.hierarchy import DEFAULT_HIR, build_hierarchy_lut
+
+        rng = np.random.default_rng(11)
+        # ~40% of DNs ABOVE the stats max -> normalised values in (1, 1.6]
+        s2 = rng.integers(0, 8000, (BATCH, TILE, TILE, 6)).astype(np.uint16)
+        s1 = rng.uniform(-25, 5, (BATCH, TILE, TILE, 2)).astype(np.float32)
+        norm = {"s2_off": np.zeros(6, np.float32),
+                "s2_scale": np.full(6, 5000.0, np.float32),
+                "s1_off": np.full(2, -25.0, np.float32),
+                "s1_scale": np.full(2, 30.0, np.float32)}
+        height = pipeline["batch"]["height"]
+        seed = 7
+        # replicate the step's internal normalise -> augment -> clip (same
+        # jnp ops, same aug key layout: fold 'aug' tag, then step=0)
+        s2n = ((jnp.asarray(s2).astype(jnp.float32)
+                - jnp.asarray(norm["s2_off"], jnp.float32))
+               / jnp.asarray(norm["s2_scale"], jnp.float32))
+        s1n = ((jnp.asarray(s1) - jnp.asarray(norm["s1_off"], jnp.float32))
+               / jnp.asarray(norm["s1_scale"], jnp.float32))
+        raw_img = jnp.concatenate([s2n, s1n], -1)
+        aug_key = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(seed), 0x617567), 0)
+        img_after, h_aug = augment_batch(aug_key, raw_img, height)
+        img_after = jnp.clip(img_after, 0, 1)
+        # the orderings genuinely differ on this draw (otherwise this test
+        # could not discriminate clip-first from clip-last)
+        img_before, _ = augment_batch(aug_key, jnp.clip(raw_img, 0, 1),
+                                      height)
+        assert float(jnp.abs(img_after - img_before).max()) > 1e-3
+
+        lut = jnp.asarray(build_hierarchy_lut(DEFAULT_HIR))
+        targets = build_targets(h_aug, lut, jnp.ones(7, jnp.float32),
+                                isaggre=True)
+        plain = make_train_step(pipeline["model"], pipeline["sr"],
+                                isaggre=True, seed=seed)
+        sp = pipeline["fresh_state"]()
+        sp, mp = plain(sp, pipeline["sr_params"],
+                       {"image": img_after, **targets}, jnp.asarray(1e-3))
+        step_n = make_train_step(pipeline["model"], pipeline["sr"],
+                                 isaggre=True, seed=seed, device_aug=True,
+                                 norm=norm, hir=DEFAULT_HIR,
+                                 class_weight=np.ones(7))
+        sn = pipeline["fresh_state"]()
+        sn, mn = step_n(sn, pipeline["sr_params"],
+                        {"s2": jnp.asarray(s2), "s1": jnp.asarray(s1),
+                         "height": height}, jnp.asarray(1e-3))
+        assert float(mp["loss"]) == pytest.approx(float(mn["loss"]),
+                                                  rel=1e-5)
+
     def test_different_steps_draw_different_augmentations(self, pipeline):
         from srbh_tpu.ops.hierarchy import DEFAULT_HIR
 
