@@ -1,10 +1,12 @@
-"""All four parallelism modes on one virtual 8-device mesh.
+"""All five parallelism modes on one virtual 8-device mesh.
 
 The reference trains and predicts on a single GPU; this framework scales
 over a ``jax.sharding.Mesh``. This script demonstrates each mode on tiny
 shapes and checks every one against the single-program numerics:
 
 * **DP**   — batch sharded over ``data``; GSPMD inserts the gradient psum.
+* **FSDP** — params + optimizer state fully sharded over ``data``
+             (``parallel/mesh.py:shard_state_fsdp``, ZeRO-3 style).
 * **TP**   — conv output channels sharded over ``model``
              (``parallel/mesh.py:shard_params_tp``).
 * **SP**   — image rows sharded over ``model`` with GSPMD halo exchange
@@ -57,6 +59,13 @@ def main():
     out = fwd(pmesh.replicate(params, mesh_dp),
               jax.device_put(x, pmesh.batch_sharding(mesh_dp)))
     print("DP  max|Δ| =", np.abs(np.asarray(out) - ref).max())
+
+    # FSDP: params fully sharded over the data axis (ZeRO-3 style) — each
+    # device stores 1/8 of every divisible kernel; GSPMD all-gathers them
+    # transiently for compute
+    out = fwd(pmesh.shard_state_fsdp(params, mesh_dp),
+              jax.device_put(x, pmesh.batch_sharding(mesh_dp)))
+    print("FSDP max|Δ| =", np.abs(np.asarray(out) - ref).max())
 
     mesh = pmesh.make_mesh(n_model=4)  # (2 data, 4 model)
 

@@ -68,7 +68,18 @@ def make_mesh(
     if n_data * n_model > len(devices):
         raise ValueError(f"mesh {n_data}x{n_model} needs more than the "
                          f"{len(devices)} available devices")
-    grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    try:
+        # topology-aware placement: on a multi-chip slice a naive row-major
+        # reshape can put model-axis neighbours on non-adjacent chips, so
+        # TP/SP collectives cross extra ICI hops; mesh_utils maps the
+        # logical grid onto the physical torus
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_device_mesh(
+            (n_data, n_model), devices=devices[: n_data * n_model])
+    except Exception:  # device subsets/backends mesh_utils can't map
+        grid = np.asarray(devices[: n_data * n_model]).reshape(n_data,
+                                                               n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -121,6 +132,41 @@ def tp_param_spec(x, n_model: int) -> P:
     if x.ndim == 1 and x.shape[0] % n_model == 0:
         return P(MODEL_AXIS)
     return P()
+
+
+def fsdp_param_spec(x, n_data: int) -> P:
+    """Fully-sharded (ZeRO-3 style) PartitionSpec for one array.
+
+    Parameters AND their optimizer moments shard their largest divisible
+    dim over the ``data`` axis, so each chip holds 1/n of the model + Adam
+    state; GSPMD inserts the all-gathers where full kernels are needed in
+    the forward/backward and keeps the elementwise Adam update sharded.
+    Conv kernels (HWIO) prefer the output-channel dim (contiguous lanes);
+    1-D vectors shard dim 0; indivisible shapes stay replicated."""
+    if n_data <= 1 or x.ndim == 0:
+        return P()
+    if x.ndim >= 2 and x.shape[-1] % n_data == 0:
+        return P(*([None] * (x.ndim - 1) + [DATA_AXIS]))
+    if x.shape[0] % n_data == 0:
+        return P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+    return P()
+
+
+def shard_state_fsdp(tree, mesh: Mesh):
+    """Place a train-state pytree fully sharded over the ``data`` axis.
+
+    The reference is single-GPU (SURVEY.md §2.5); this is the TPU-native
+    memory-scaling mode: with DP the whole 25 M-param state is replicated
+    per chip, with FSDP each chip stores a 1/n shard of params + both Adam
+    moments and XLA materialises full kernels only transiently (all-gather
+    before use, reduce-scatter of the gradients) — the scaling-book ZeRO
+    recipe, expressed purely as shardings. Numerics match the replicated
+    DP step (tests/test_fsdp.py; asserted in the driver dryrun)."""
+    n_data = mesh.shape[DATA_AXIS]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, fsdp_param_spec(x, n_data)))
+        if hasattr(x, "ndim") else x, tree)
 
 
 def shard_params_tp(params, mesh: Mesh):

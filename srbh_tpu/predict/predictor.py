@@ -146,8 +146,11 @@ def predict_city(
             pos_full[:n_real] = pos
             acc.add_batch(h, b, pos_full)
         else:
-            h = np.asarray(h)[:n_real]
-            b = np.asarray(b)[:n_real]
+            # slice the padded tail on DEVICE before the host transfer —
+            # np.asarray(h)[:n_real] would ship the whole padded batch
+            # (~18 MB of discarded rows per city tail at batch 32)
+            h = np.asarray(h[:n_real])
+            b = np.asarray(b[:n_real])
             acc.add_batch(h, b, pos)
 
     height, build_cls, weight = acc.finalize()

@@ -70,6 +70,10 @@ class TrainConfig:
     # DNs + float32 S1 (146 KB/tile vs 196); same normalise->clip->augment
     # order as device_aug, <=1 f32 ulp (XLA reciprocal-based division)
     device_norm: bool = False
+    # fully-sharded data parallel (ZeRO-3 style): params + Adam moments
+    # shard over the mesh's data axis (parallel/mesh.py:shard_state_fsdp);
+    # numerics match replicated DP (tests/test_fsdp.py). Implies DP.
+    fsdp: bool = False
     num_sample: int = 0
     # exact resume: persist optax state (reference never does, train.py:207)
     save_opt_state: bool = False

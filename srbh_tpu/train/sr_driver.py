@@ -77,10 +77,16 @@ def eval_sr(trainer: RealESRGANTrainer, state: GANTrainState,
             batch_size: int = 8, max_batches: Optional[int] = None):
     """PSNR/SSIM of the EMA generator over LR/HR pairs; writes the
     ``acc{N}.txt`` schema (psnr, ssim, then zero-filled slots + cPSNR)."""
-    apply = trainer.ema_apply_fn()
+    # cache the jitted EMA forward on the trainer: a fresh lambda per call
+    # would be a new jit cache key, recompiling the full generator on
+    # every periodic eval
+    fn = getattr(trainer, "_eval_sr_jit", None)
+    if fn is None:
+        apply = trainer.ema_apply_fn()
+        fn = trainer._eval_sr_jit = jax.jit(
+            lambda s, x: apply(s, x))
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=False,
                         num_workers=2)
-    fn = jax.jit(lambda s, x: apply(s, x))
     psnrs, ssims, cpsnrs = [], [], []
     for bi, batch in enumerate(loader):
         if max_batches is not None and bi >= max_batches:

@@ -98,7 +98,8 @@ def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
                  ishir: bool, num_sample: int = 0, shuffle: bool = True,
                  preweight: Optional[str] = None, sharding=None,
                  device_put: bool = True, drop_last: bool = False,
-                 device_aug: bool = False, device_norm: bool = False):
+                 device_aug: bool = False, device_norm: bool = False,
+                 batch_size: Optional[int] = None):
     """Loader with async device prefetch: batches are already on device
     (optionally data-axis sharded) when the step consumes them, so the jitted
     step never blocks on a synchronous host->device copy."""
@@ -109,7 +110,8 @@ def _make_loader(cfg: TrainConfig, listname: str, aug: bool, isaggre: bool,
         heightdir=cfg.bhdir, preweight=preweight, isaggre=isaggre,
         ishir=ishir, hir=cfg.hir, nchans=cfg.nchanss2, seed=cfg.seed,
         device_aug=device_aug, device_norm=device_norm)
-    return DataLoader(ds, batch_size=cfg.batch_size, shuffle=shuffle,
+    return DataLoader(ds, batch_size=batch_size or cfg.batch_size,
+                      shuffle=shuffle,
                       num_workers=cfg.num_workers, seed=cfg.seed,
                       drop_last=drop_last, device_put=device_put,
                       sharding=sharding)
@@ -129,14 +131,22 @@ def _to_device_batch(batch, isaggre=True, device_aug=False,
 
 
 def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = None,
-         data_parallel: Optional[bool] = None):
+         data_parallel: Optional[bool] = None, fsdp: bool = False):
     """The training driver; returns the final TrainState.
 
     ``data_parallel`` (default: auto when >1 device) shards batches over the
     mesh's ``data`` axis with replicated state — XLA inserts the gradient
     psum (SURVEY.md §2.5 TPU-native equivalent of the reference's absent DP).
+    ``fsdp`` additionally shards params + optimizer moments over the same
+    axis (ZeRO-3 style, ``parallel/mesh.py:shard_state_fsdp``): each chip
+    stores 1/n of the train state and GSPMD inserts the transient param
+    all-gathers / gradient reduce-scatters. Numerics match the replicated
+    DP step (tests/test_fsdp.py). Implies ``data_parallel``.
     """
     np.random.seed(cfg.seed)
+    fsdp = fsdp or getattr(cfg, "fsdp", False)
+    if fsdp:
+        data_parallel = True
     if data_parallel is None:
         # auto-DP only when every batch can shard evenly over the devices
         data_parallel = (jax.device_count() > 1
@@ -166,28 +176,32 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         sr_params, loaded = load_sr_params(cfg, sr_params)
         if not loaded:
             print("=> no SR checkpoint found; using random frozen features")
-    # pretrained-encoder start: the reference ALWAYS trains from an
-    # ImageNet B4 (mymodels.py:234,242-243 encoder_weights="imagenet");
-    # its 20-epoch budget and accuracy goldens assume it
-    if getattr(cfg, "encoder_weights", None):
-        from srbh_tpu.train.convert import graft_encoder_npz
+    resume = os.path.join(cfg.logdir, "checkpoint")
+    payload = load_checkpoint(resume)
+    if payload is None:
+        # pretrained-encoder start: the reference ALWAYS trains from an
+        # ImageNet B4 (mymodels.py:234,242-243 encoder_weights="imagenet");
+        # its 20-epoch budget and accuracy goldens assume it. Only a FRESH
+        # run grafts/warns — a resumed run takes its encoder from the
+        # checkpoint restored below, so grafting here would be discarded
+        # (and the random-encoder warning would be false).
+        if getattr(cfg, "encoder_weights", None):
+            from srbh_tpu.train.convert import graft_encoder_npz
 
-        variables = graft_encoder_npz(variables, cfg.encoder_weights)
-        print(f"=> encoder initialised from {cfg.encoder_weights}")
-    else:
-        print("WARNING: training starts from a RANDOM encoder — the "
-              "reference always uses ImageNet weights (mymodels.py:242). "
-              "Convert them offline with `python -m srbh_tpu.train.convert "
-              "effnet-b4.pth enc.npz --arch imagenet-encoder` and pass "
-              "--encoder_weights enc.npz.")
+            variables = graft_encoder_npz(variables, cfg.encoder_weights)
+            print(f"=> encoder initialised from {cfg.encoder_weights}")
+        else:
+            print("WARNING: training starts from a RANDOM encoder — the "
+                  "reference always uses ImageNet weights (mymodels.py:242). "
+                  "Convert them offline with `python -m srbh_tpu.train.convert "
+                  "effnet-b4.pth enc.npz --arch imagenet-encoder` and pass "
+                  "--encoder_weights enc.npz.")
 
     state = TrainState.create(variables,
                               n_log_vars=3 if cfg.isaggre else 2,
                               lr=cfg.lr,
                               weight_decay=cfg.weight_decay)
     start_epoch, best_rmse = 0, float("inf")
-    resume = os.path.join(cfg.logdir, "checkpoint")
-    payload = load_checkpoint(resume)
     if payload is not None:
         state = restore_into_state(state, payload)
         start_epoch = payload["epoch"]
@@ -209,14 +223,13 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         if device_norm else None)
     eval_step = make_eval_step(model, sr, cfg.rgbseq)
     if mesh is not None:
-        state = pmesh.replicate(state, mesh)
+        state = (pmesh.shard_state_fsdp(state, mesh) if fsdp
+                 else pmesh.replicate(state, mesh))
         if sr_params is not None:
-            sr_params = pmesh.replicate(sr_params, mesh)
-
-    def to_device(batch, isaggre):
-        # batches arrive pre-placed (and pre-sharded on a mesh) by the
-        # loader's prefetch thread; this just selects the step's keys.
-        return _to_device_batch(batch, isaggre)
+            # the frozen trunk has no optimizer state; FSDP-shard its params
+            # too so each chip stores 1/n of the 16.7 M-param RRDBNet
+            sr_params = (pmesh.shard_state_fsdp(sr_params, mesh) if fsdp
+                         else pmesh.replicate(sr_params, mesh))
 
     os.makedirs(cfg.logdir, exist_ok=True)
     if writer is None:
@@ -231,7 +244,7 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
         lr = step_decay_lr(cfg.lr, epoch)
         losses, rmses = AverageMeter(), AverageMeter()
         for i, batch in enumerate(trainloader):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
             b = _to_device_batch(batch, cfg.isaggre, device_aug=device_aug,
                                  device_norm=device_norm)
@@ -245,9 +258,11 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
 
         val_losses, val_rmses = AverageMeter(), AverageMeter()
         for i, batch in enumerate(valloader):
-            if max_steps_per_epoch and i >= max_steps_per_epoch:
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 break
-            b = to_device(batch, isaggre=False)
+            # batches arrive pre-placed (and pre-sharded on a mesh) by the
+            # loader's prefetch thread; this just selects the step's keys
+            b = _to_device_batch(batch, isaggre=False)
             m = eval_step(state, sr_params, b)
             n = b["image"].shape[0]
             val_losses.update(float(m["loss"]), n)
@@ -285,18 +300,31 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
 
 
 def main_test(cfg: TrainConfig, num_sample: int = 100, suffix: str = "",
-              issave: bool = False, max_batches: Optional[int] = None):
+              issave: bool = False, max_batches: Optional[int] = None,
+              batch_size: int = 1):
     """Test-set evaluation writing the reference's acc artifacts
-    (train.py:347-425, vtest_epoch2 :427-486)."""
+    (train.py:347-425, vtest_epoch2 :427-486).
+
+    ``batch_size`` defaults to 1 like the reference's main_test
+    (train.py:349): the headline RMSE is an AverageMeter over per-BATCH
+    RMSEs (vtest_epoch2 :444-446), so at batch 1 it is the MEAN of
+    per-tile RMSEs — a different (Jensen-smaller) statistic than a
+    pooled sqrt-of-mean over larger batches. Keep 1 for comparisons
+    against the reference accuracy goldens; the seg/height-class CSVs
+    are streaming-exact at any batch size.
+    """
     loader = _make_loader(cfg, cfg.testlist, aug=False, isaggre=False,
                           ishir=True, num_sample=num_sample,
-                          preweight=cfg.preweight, shuffle=True)
+                          preweight=cfg.preweight, shuffle=True,
+                          batch_size=batch_size)
     model, sr = build_models(cfg)
     variables, sr_params = init_models(cfg, model, sr)
     if sr is not None:
         sr_params, _ = load_sr_params(cfg, sr_params)
 
-    state = TrainState.create(variables, n_log_vars=3, lr=cfg.lr)
+    state = TrainState.create(variables,
+                              n_log_vars=3 if cfg.isaggre else 2,
+                              lr=cfg.lr)
     resume = os.path.join(cfg.logdir, cfg.checkpoint)
     payload = load_checkpoint(resume)
     if payload is None:
@@ -315,7 +343,7 @@ def main_test(cfg: TrainConfig, num_sample: int = 100, suffix: str = "",
         os.makedirs(respath, exist_ok=True)
 
     for bi, batch in enumerate(loader):
-        if max_batches and bi >= max_batches:
+        if max_batches is not None and bi >= max_batches:
             break
         x = jnp.asarray(batch["image"])
         y_true = jnp.asarray(batch["height"])

@@ -2,6 +2,7 @@
 evaluate, check the acc artifact schemas (SURVEY.md §4 'tiny-run' plan)."""
 import os
 
+import jax
 import numpy as np
 import pandas as pd
 import pytest
@@ -58,19 +59,27 @@ def make_cfg(root) -> TrainConfig:
 
 
 class TestTrainDriver:
-    def test_train_two_epochs(self, workdir):
+    def test_train_two_epochs(self, workdir, capsys):
         cfg = make_cfg(workdir)
         state = trainer.main(cfg, writer=None)
         assert int(state.step) == 2 * 2  # 8 tiles / batch 4 = 2 steps/epoch
         assert os.path.isdir(os.path.join(cfg.logdir, "checkpoint"))
         # best copy exists (val rmse always improves from +inf)
         assert os.path.isdir(os.path.join(cfg.logdir, "model_best"))
+        # a FRESH run without encoder_weights warns about the random
+        # encoder (the reference always starts from ImageNet weights)
+        assert "RANDOM encoder" in capsys.readouterr().out
 
-    def test_resume_continues(self, workdir):
+    def test_resume_continues(self, workdir, capsys):
         cfg = make_cfg(workdir)
         cfg.maxepoch = 3
         state = trainer.main(cfg, writer=None)
         assert int(state.step) == 3 * 2  # 2 old + 1 new epoch
+        # review-17: a RESUMED run takes its encoder from the checkpoint —
+        # the random-encoder warning (or a graft) here would be false
+        out = capsys.readouterr().out
+        assert "resumed epoch 2" in out
+        assert "RANDOM encoder" not in out
 
     def test_device_aug_epoch(self, workdir, tmp_path):
         """--device_aug trains end-to-end through trainer.main: the loader
@@ -107,6 +116,12 @@ class TestTrainDriver:
         cfg.maxepoch = 1
         state = trainer.main(cfg)  # writer=None -> auto SummaryWriter
         assert int(state.step) == 2
+        # review-17: main_test on an isaggre=False checkpoint must build
+        # its restore template with 2 log_vars like main() (a hardcoded 3
+        # grafted (2,)-shaped Adam moments into a (3,) template)
+        res = trainer.main_test(cfg, num_sample=0, suffix="na",
+                                max_batches=1)
+        assert res is not None and np.isfinite(res["rmse"])
 
     def test_data_parallel_epoch(self, workdir, tmp_path):
         """One DP epoch over the 8-device mesh through the full driver."""
@@ -116,6 +131,29 @@ class TestTrainDriver:
         cfg.batch_size = 8
         state = trainer.main(cfg, writer=None, data_parallel=True)
         assert int(state.step) == 1  # 8 tiles / batch 8
+
+    def test_fsdp_epoch(self, workdir, tmp_path):
+        """One FSDP epoch through the full driver: params + Adam moments
+        sharded over the data axis (cfg.fsdp implies data_parallel); the
+        saved checkpoint must be host-gatherable and finite."""
+        cfg = make_cfg(workdir)
+        cfg.logdir = str(tmp_path / "fsdp_logs")
+        cfg.maxepoch = 1
+        cfg.batch_size = 8
+        cfg.fsdp = True
+        state = trainer.main(cfg, writer=None)
+        assert int(state.step) == 1
+        leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+        assert all(np.all(np.isfinite(l)) for l in leaves)
+        assert os.path.isdir(os.path.join(cfg.logdir, "checkpoint"))
+
+    def test_main_test_zero_batches_means_zero(self, workdir):
+        """review-17: max_batches=0 must evaluate NOTHING (is-not-None
+        guard), matching eval_sr's semantics for the same parameter."""
+        cfg = make_cfg(workdir)
+        res = trainer.main_test(cfg, num_sample=0, suffix="zb",
+                                max_batches=0)
+        assert res is not None and res["rmse"] == 0.0  # empty AverageMeter
 
     def test_main_test_artifacts(self, workdir):
         cfg = make_cfg(workdir)

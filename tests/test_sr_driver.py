@@ -63,6 +63,13 @@ class TestSRDriver:
         res = eval_sr(tr, state, make_dataset(pair_root),
                       txtpath=str(tmp_path / "acc1.txt"), batch_size=2)
         assert np.isfinite(res["psnr"]) and 0 <= res["ssim"] <= 1
+        # review-17: the jitted EMA forward is cached on the trainer — a
+        # second eval must reuse it (a fresh lambda per call would be a
+        # new jit cache key, recompiling the generator every eval)
+        jit1 = tr._eval_sr_jit
+        eval_sr(tr, state, make_dataset(pair_root), batch_size=2,
+                max_batches=1)
+        assert tr._eval_sr_jit is jit1
         lines = open(tmp_path / "acc1.txt").read().splitlines()
         assert lines[0] == "psnr, ssim"
         assert float(lines[1]) == pytest.approx(res["psnr"], abs=1e-3)
