@@ -691,7 +691,8 @@ def from_wkt(wkt: str):
             false_easting=params.get("false_easting", 0.0),
             false_northing=params.get("false_northing", 0.0),
             a=a, f=f, towgs84=towgs84)
-    if name in ("polar_stereographic", "polar_stereographic_(variant_b)",
+    if name in ("polar_stereographic", "polar_stereographic_(variant_a)",
+                "polar_stereographic_(variant_b)",
                 "stereographic_north_pole", "stereographic_south_pole"):
         # GDAL WKT1 encodes variant B's standard parallel as
         # latitude_of_origin (scale_factor 1); ESRI's aliases use

@@ -180,7 +180,8 @@ class HeightMetric:
     def avg_all(self):
         s = np.asarray(self.stats, np.float64)
         c = np.asarray(self.counts, np.float64)
-        return s.sum(axis=0) / c.sum()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return s.sum(axis=0) / c.sum()
 
     def count(self):
         return np.asarray(self.counts, np.float64)

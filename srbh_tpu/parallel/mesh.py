@@ -23,6 +23,7 @@ Verified recipe (tests/test_multihost.py runs it as 2 real CPU processes):
 """
 from __future__ import annotations
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -77,7 +78,15 @@ def make_mesh(
 
         grid = mesh_utils.create_device_mesh(
             (n_data, n_model), devices=devices[: n_data * n_model])
-    except Exception:  # device subsets/backends mesh_utils can't map
+    except (ValueError, NotImplementedError, AssertionError) as e:
+        # device subsets/backends mesh_utils can't map; the row-major
+        # fallback is correct but topology-blind — say so once, loudly
+        # enough that divergent placement across jax.distributed
+        # processes would be traceable
+        warnings.warn(
+            f"make_mesh: mesh_utils.create_device_mesh failed ({e!r}); "
+            f"falling back to row-major device placement (correct, but "
+            f"not topology-aware)", RuntimeWarning, stacklevel=2)
         grid = np.asarray(devices[: n_data * n_model]).reshape(n_data,
                                                                n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

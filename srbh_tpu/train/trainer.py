@@ -146,6 +146,12 @@ def main(cfg: TrainConfig, writer=None, max_steps_per_epoch: Optional[int] = Non
     np.random.seed(cfg.seed)
     fsdp = fsdp or getattr(cfg, "fsdp", False)
     if fsdp:
+        if cfg.batch_size % jax.device_count() != 0:
+            raise ValueError(
+                f"fsdp requires batch_size divisible by the device count "
+                f"(got batch_size={cfg.batch_size}, "
+                f"devices={jax.device_count()}); pick a multiple or drop "
+                f"--fsdp")
         data_parallel = True
     if data_parallel is None:
         # auto-DP only when every batch can shard evenly over the devices

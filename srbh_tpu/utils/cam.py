@@ -236,13 +236,17 @@ def crf_refine(prob: np.ndarray, image: np.ndarray, iters: int = 5,
     this image). Pairwise terms, negative-Potts compatibility:
 
     * a Gaussian spatial kernel (``sxy``, ``compat``) — pydensecrf's
-      ``addPairwiseGaussian(sxy=3, compat=3)``. Like pydensecrf (and the
-      bilateral term below) the self-pixel is EXCLUDED and the message is
-      normalised per pixel over its in-image neighbours: the separable
-      blur runs with BORDER_CONSTANT zero-padding, the centre tap's
-      weight is subtracted, and the remainder is divided by the same
-      blur of a ones image — exactly the dense kernel truncated at
-      ±3 sigma;
+      ``addPairwiseGaussian(sxy=3, compat=3)``'s spatial term. The
+      self-pixel is EXCLUDED and the message is row-normalised per pixel
+      over its in-image neighbours (the paper's K·Q / K·1 mean-field
+      message, matched exactly by the in-repo dense oracle in
+      tests/test_crf.py): the separable blur runs with BORDER_CONSTANT
+      zero-padding, the centre tap's weight is subtracted, and the
+      remainder is divided by the same blur of a ones image — the dense
+      kernel truncated at ±3 sigma. NOTE pydensecrf's default
+      ``NormalizationType`` is NORMALIZE_SYMMETRIC
+      (1/sqrt(norm_i) · K · 1/sqrt(norm_j)); this one-sided
+      row-normalisation approximates but does not bit-reproduce it;
     * optionally a joint-bilateral appearance kernel ``bilateral =
       (sxy_b, srgb, compat_b)`` — ``addPairwiseBilateral(sxy=80, srgb=13,
       compat=10)``'s edge-aware term. Computed over a window of

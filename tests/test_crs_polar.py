@@ -207,12 +207,12 @@ class TestWktAndEpsgPlumbing:
         geographic hub: 3413 -> 4326 -> 32633 roundtrip."""
         x, y = crs.transform(4326, 3413, np.array([15.0]), np.array([78.0]))
         lon, lat = crs.transform(3413, 4326, x, y)
-        assert abs(float(lon) - 15.0) < 1e-9
-        assert abs(float(lat) - 78.0) < 1e-9
+        assert abs(np.ravel(lon)[0] - 15.0) < 1e-9
+        assert abs(np.ravel(lat)[0] - 78.0) < 1e-9
         ex, ny = crs.transform(3413, 32633, x, y)  # Svalbard UTM 33N
         ex2, ny2 = crs.from_epsg(32633).forward(15.0, 78.0)
-        assert abs(float(ex) - float(ex2)) < 1e-6
-        assert abs(float(ny) - float(ny2)) < 1e-6
+        assert abs(np.ravel(ex)[0] - float(ex2)) < 1e-6
+        assert abs(np.ravel(ny)[0] - float(ny2)) < 1e-6
 
     def test_ups_epsg_of_requires_ups_scale(self):
         p = crs.PolarStereographic(lat_ts=90.0, k0=1.0,

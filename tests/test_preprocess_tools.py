@@ -107,10 +107,13 @@ class TestCompare:
         out = prep.floor_field_to_height(v)
         np.testing.assert_array_equal(out, [0, 6, 6, 9, 30])
 
-    def test_gee_stub_raises(self, tmp_path):
+    def test_download_requires_ref_grid(self, tmp_path):
+        """download_sentinel12 is a real offline manifest builder now
+        (not the old Earth-Engine stub): without the WorldCover grid
+        shapefile it must fail loudly before touching the filesystem."""
         shp = str(tmp_path / "q.shp")
         write_shapefile(shp, [ShapeRecord((0, 0, 1, 1))])
-        with pytest.raises(RuntimeError, match="Earth-Engine"):
+        with pytest.raises(ValueError, match="ref_shp"):
             prep.download_sentinel12(shp, str(tmp_path))
 
 

@@ -225,8 +225,11 @@ class TestEpsgGeokeys:
         s = crs.from_wkt(crs.wkt_for_epsg(32756))
         assert s.false_northing == 10000000.0
         assert crs.from_wkt(crs.wkt_for_epsg(4326)).is_geographic
-        with pytest.raises(ValueError):
-            crs.wkt_for_epsg(3857)
+        # 3857 gained support in round 4 — assert the round-trip instead
+        m = crs.from_wkt(crs.wkt_for_epsg(3857))
+        assert not m.is_geographic
+        x, y = m.forward(0.0, 0.0)
+        assert abs(x) < 1e-6 and abs(y) < 1e-6
 
     def test_write_tiff_geokeys_readable(self, tmp_path):
         p = str(tmp_path / "g.tif")
