@@ -144,7 +144,32 @@ def load_checkpoint(path: str) -> Optional[dict]:
         return _ckptr().restore(path)
     if os.path.isdir(path + ".old"):
         return _ckptr().restore(path + ".old")
+    if os.path.isfile(path) and path.endswith(".npz"):
+        return _payload_from_npz(path)
     return None
+
+
+def _payload_from_npz(path: str) -> dict:
+    """Adapt a ``train.convert``-CLI ``.npz`` (the migration format for
+    reference ``.tar`` checkpoints, train.py:199-212) into the live
+    checkpoint payload shape, so ``cfg.checkpoint`` / ``cfg.logdirhr``
+    can point straight at a converted file — the exact path a user with
+    a published reference checkpoint takes (tar → convert → main_test /
+    predict)."""
+    from srbh_tpu.train.convert import load_tree_npz
+
+    tree = load_tree_npz(path)
+    payload = dict(tree)
+    meta = payload.pop("meta", {})
+    lv = payload.get("log_vars")
+    if isinstance(lv, dict):  # converter stashes {'w1': …} scalars
+        payload["log_vars"] = np.stack(
+            [np.asarray(lv[k], np.float32)
+             for k in sorted(lv, key=lambda s: int(s[1:]))])
+    payload.setdefault("epoch", int(meta.get("epoch", 0)))
+    if "best_acc" in meta:
+        payload.setdefault("best_rmse", float(meta["best_acc"]))
+    return payload
 
 
 def restore_into_state(state, payload: dict):

@@ -522,6 +522,20 @@ def main(argv=None) -> str:
                     v.detach().numpy() if hasattr(v, "detach") else v,
                     np.float32)
                 for i, v in enumerate(lv)}
+        # carry the tar's bookkeeping (train.py:202-208 writes epoch /
+        # best_acc alongside state_dict) so a converted checkpoint drives
+        # main_test with the reference's artifact naming (acc{epoch}…)
+        if isinstance(payload, Mapping):
+            meta = {}
+            if "epoch" in payload:
+                meta["epoch"] = np.asarray(int(payload["epoch"]), np.int32)
+            if "best_acc" in payload:
+                ba = payload["best_acc"]
+                meta["best_acc"] = np.asarray(
+                    float(ba.detach() if hasattr(ba, "detach") else ba),
+                    np.float32)
+            if meta:
+                tree["meta"] = meta
     elif args.arch == "rrdbnet":
         tree = convert_rrdbnet(sd, num_block=args.num_block)
     elif args.arch == "rrdbnet-simple":
