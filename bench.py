@@ -153,5 +153,36 @@ def main():
     }))
 
 
+def main_train(batch: int = 128):
+    """``python bench.py --train [batch]``: the TRAIN-step twin of the
+    driver bench, so the training path gets the same per-round regression
+    tracking the inference path has (delegates to
+    srbh_tpu.tools.train_bench, which prints the one-line JSON). The
+    result is also appended to ``TRAIN_BENCH.json`` at the repo root —
+    commit it each round next to BENCH_r{N}.json."""
+    import contextlib
+    import io
+
+    from srbh_tpu.tools import train_bench
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        train_bench.main(batch)
+    line = buf.getvalue().strip().splitlines()[-1]
+    print(line)
+    rec = json.loads(line)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "TRAIN_BENCH.json")
+    with open(path, "w") as f:
+        json.dump(rec, f)
+        f.write("\n")
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train" in sys.argv:
+        rest = [a for a in sys.argv[1:] if a != "--train"]
+        main_train(int(rest[0]) if rest else 128)
+    else:
+        main()

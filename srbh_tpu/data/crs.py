@@ -508,6 +508,103 @@ class PseudoMercator:
         return f"PseudoMercator(lon0={self.lon0})"
 
 
+class LambertAzimuthalEqualArea:
+    """Ellipsoidal Lambert Azimuthal Equal-Area (EPSG method 9820,
+    Snyder PP 1395 §24) — the pan-European product grid (EPSG:3035,
+    ETRS89-LAEA) and the EASE-Grid 2.0 polar products (EPSG:6931/6932).
+
+    Oblique aspect uses the authalic-latitude formulation (EPSG GN7-2
+    worked example anchors tests/test_crs_laea.py); ``|lat0| == 90``
+    switches to the polar-aspect closed forms."""
+
+    is_geographic = False
+
+    def __init__(self, lat0: float = 0.0, lon0: float = 0.0,
+                 false_easting: float = 0.0, false_northing: float = 0.0,
+                 a: float = _A, f: float = _F, towgs84=None):
+        self.lat0, self.lon0 = float(lat0), float(lon0)
+        self.false_easting = float(false_easting)
+        self.false_northing = float(false_northing)
+        self.a, self.f = a, f
+        self.towgs84 = None if towgs84 is None else tuple(towgs84)
+        e = self._e = math.sqrt(f * (2.0 - f))
+        self._qp = float(_conic_q(np.asarray(math.pi / 2.0), e))
+        self._polar = abs(abs(self.lat0) - 90.0) < 1e-9
+        self._south = self.lat0 < 0
+        if not self._polar:
+            p0 = math.radians(lat0)
+            q0 = float(_conic_q(np.asarray(p0), e))
+            self._beta0 = math.asin(min(1.0, max(-1.0, q0 / self._qp)))
+            self._rq = a * math.sqrt(self._qp / 2.0)
+            self._d = (a * float(_conic_m(np.asarray(p0), e))
+                       / (self._rq * math.cos(self._beta0)))
+
+    def _dlam(self, lon):
+        return np.radians((np.asarray(lon, float) - self.lon0 + 180.0)
+                          % 360.0 - 180.0)
+
+    def forward(self, lon: ArrayLike, lat: ArrayLike):
+        phi = np.radians(np.asarray(lat, float))
+        q = _conic_q(phi, self._e)
+        lam = self._dlam(lon)
+        if self._polar:
+            # Snyder 24-23/25: rho = a sqrt(qp -+ q), pole-centred
+            sgn = -1.0 if self._south else 1.0
+            rho = self.a * np.sqrt(np.maximum(self._qp - sgn * q, 0.0))
+            x = self.false_easting + rho * np.sin(lam)
+            y = self.false_northing - sgn * rho * np.cos(lam)
+            return x, y
+        beta = np.arcsin(np.clip(q / self._qp, -1.0, 1.0))
+        sb0, cb0 = math.sin(self._beta0), math.cos(self._beta0)
+        b = self._rq * np.sqrt(
+            2.0 / (1.0 + sb0 * np.sin(beta)
+                   + cb0 * np.cos(beta) * np.cos(lam)))
+        x = self.false_easting + b * self._d * np.cos(beta) * np.sin(lam)
+        y = self.false_northing + (b / self._d) * (
+            cb0 * np.sin(beta) - sb0 * np.cos(beta) * np.cos(lam))
+        return x, y
+
+    def _phi_from_beta(self, beta):
+        """Authalic -> geodetic latitude (Snyder 3-18 series)."""
+        e2 = self._e ** 2
+        e4, e6 = e2 * e2, e2 * e2 * e2
+        return beta + (
+            (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0)
+            * np.sin(2.0 * beta)
+            + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4.0 * beta)
+            + (761.0 * e6 / 45360.0) * np.sin(6.0 * beta))
+
+    def inverse(self, x: ArrayLike, y: ArrayLike):
+        dx = np.asarray(x, float) - self.false_easting
+        dy = np.asarray(y, float) - self.false_northing
+        if self._polar:
+            sgn = -1.0 if self._south else 1.0
+            rho = np.hypot(dx, dy)
+            q = sgn * (self._qp - (rho / self.a) ** 2)
+            beta = np.arcsin(np.clip(q / self._qp, -1.0, 1.0))
+            lam = np.arctan2(dx, -sgn * dy)
+            lon = self.lon0 + np.degrees(lam)
+            return lon, np.degrees(self._phi_from_beta(beta))
+        sb0, cb0 = math.sin(self._beta0), math.cos(self._beta0)
+        rho = np.hypot(dx / self._d, self._d * dy)
+        c = 2.0 * np.arcsin(np.clip(rho / (2.0 * self._rq), -1.0, 1.0))
+        with np.errstate(invalid="ignore"):
+            beta = np.where(
+                rho == 0.0, self._beta0,
+                np.arcsin(np.clip(
+                    np.cos(c) * sb0 + self._d * dy * np.sin(c) * cb0
+                    / np.where(rho == 0.0, 1.0, rho), -1.0, 1.0)))
+        lam = np.arctan2(dx * np.sin(c),
+                         self._d * rho * cb0 * np.cos(c)
+                         - self._d ** 2 * dy * sb0 * np.sin(c))
+        lon = self.lon0 + np.degrees(lam)
+        return lon, np.degrees(self._phi_from_beta(beta))
+
+    def __repr__(self):
+        return (f"LambertAzimuthalEqualArea(lat0={self.lat0}, "
+                f"lon0={self.lon0})")
+
+
 # ---------------------------------------------------------------------------
 # Datum shifts: TOWGS84 7-parameter Helmert (EPSG 9606 position-vector),
 # applied through geocentric coordinates when src/dst datums differ —
@@ -737,6 +834,17 @@ def from_wkt(wkt: str):
             false_easting=params.get("false_easting", 0.0),
             false_northing=params.get("false_northing", 0.0),
             a=a, f=f, towgs84=towgs84)
+    if name in ("lambert_azimuthal_equal_area",
+                "lambert_azimuthal_equal_area_(spherical)"):
+        # GDAL WKT1 writes latitude_of_center; ESRI Latitude_Of_Origin
+        return LambertAzimuthalEqualArea(
+            lat0=params.get("latitude_of_center",
+                            params.get("latitude_of_origin", 0.0)),
+            lon0=params.get("longitude_of_center",
+                            params.get("central_meridian", 0.0)),
+            false_easting=params.get("false_easting", 0.0),
+            false_northing=params.get("false_northing", 0.0),
+            a=a, f=f, towgs84=towgs84)
     um = _UTM_RE.search(wkt)
     if um and not name:
         proj = utm(int(um.group(1)), um.group(2).upper() == "S", a, f)
@@ -783,6 +891,14 @@ def from_epsg(code: int):
         return PolarStereographic(lat_ts=-90.0, k0=0.994,
                                   false_easting=2000000.0,
                                   false_northing=2000000.0)
+    if code == 3035:  # ETRS89-extended / LAEA Europe (pan-EU products)
+        return LambertAzimuthalEqualArea(
+            lat0=52.0, lon0=10.0, false_easting=4321000.0,
+            false_northing=3210000.0, a=_A_GRS80, f=_F_GRS80)
+    if code == 6931:  # WGS 84 / NSIDC EASE-Grid 2.0 North
+        return LambertAzimuthalEqualArea(lat0=90.0, lon0=0.0)
+    if code == 6932:  # WGS 84 / NSIDC EASE-Grid 2.0 South
+        return LambertAzimuthalEqualArea(lat0=-90.0, lon0=0.0)
     raise ValueError(f"unsupported EPSG:{code}")
 
 
@@ -885,6 +1001,29 @@ def wkt_for_epsg(code: int) -> str:
             'PARAMETER["scale_factor",1],'
             'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
             'UNIT["metre",1]]')
+    if code == 3035:
+        return (
+            'PROJCS["ETRS89-extended / LAEA Europe",GEOGCS["ETRS89",'
+            'DATUM["European_Terrestrial_Reference_System_1989",'
+            'SPHEROID["GRS 1980",6378137,298.257222101]],'
+            'PRIMEM["Greenwich",0],'
+            'UNIT["degree",0.0174532925199433]],'
+            'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+            'PARAMETER["latitude_of_center",52],'
+            'PARAMETER["longitude_of_center",10],'
+            'PARAMETER["false_easting",4321000],'
+            'PARAMETER["false_northing",3210000],UNIT["metre",1]]')
+    if code in (6931, 6932):
+        lat = 90 if code == 6931 else -90
+        nm = "North" if code == 6931 else "South"
+        return (
+            f'PROJCS["WGS 84 / NSIDC EASE-Grid 2.0 {nm}",'
+            + _WKT_GEO_4326 + ','
+            'PROJECTION["Lambert_Azimuthal_Equal_Area"],'
+            f'PARAMETER["latitude_of_center",{lat}],'
+            'PARAMETER["longitude_of_center",0],'
+            'PARAMETER["false_easting",0],PARAMETER["false_northing",0],'
+            'UNIT["metre",1]]')
     raise ValueError(f"unsupported EPSG:{code}")
 
 
@@ -905,6 +1044,13 @@ def epsg_of(p) -> Optional[int]:
             and abs(p.a - _A_GRS80) < 1e-3
             and abs(p.f - _F_GRS80) < 1e-12):
         return 5070
+    if (isinstance(p, LambertAzimuthalEqualArea)
+            and (p.lat0, p.lon0) == (52.0, 10.0)
+            and p.false_easting == 4321000.0
+            and p.false_northing == 3210000.0
+            and abs(p.a - _A_GRS80) < 1e-3
+            and abs(p.f - _F_GRS80) < 1e-12):
+        return 3035
     if abs(p.a - _A) > 1e-3 or abs(p.f - _F) > 1e-12:
         return None
     if getattr(p, "is_geographic", False):
@@ -925,6 +1071,10 @@ def epsg_of(p) -> Optional[int]:
         if code in (5041, 5042) and not math.isclose(p.k0, 0.994):
             return None  # variant A at the pole but not the UPS scale
         return code
+    if (isinstance(p, LambertAzimuthalEqualArea)
+            and p.false_easting == 0.0 and p.false_northing == 0.0
+            and p.lon0 == 0.0):
+        return {90.0: 6931, -90.0: 6932}.get(p.lat0)
     if (isinstance(p, TransverseMercator) and p.k0 == 0.9996
             and p.false_easting == 500000.0 and p.lat0 == 0.0):
         zone = (p.lon0 + 183.0) / 6.0

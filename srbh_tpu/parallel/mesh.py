@@ -138,6 +138,14 @@ def tp_param_spec(x, n_model: int) -> P:
         return P()
     if x.ndim >= 2 and x.shape[-1] % n_model == 0:
         return P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+    if x.ndim >= 2 and x.shape[-2] % n_model == 0:
+        # output channels indivisible (e.g. B4's SE-reduce (1,1,672,28)):
+        # shard the INPUT-channel dim instead — Megatron-style row
+        # parallelism; GSPMD inserts the partial-sum all-reduce on the
+        # conv/dense output. Without this the big squeeze-excite kernels
+        # silently replicate at the shipped B4 shapes
+        # (tests/test_flagship_multichip.py).
+        return P(*([None] * (x.ndim - 2) + [MODEL_AXIS, None]))
     if x.ndim == 1 and x.shape[0] % n_model == 0:
         return P(MODEL_AXIS)
     return P()
@@ -158,6 +166,16 @@ def fsdp_param_spec(x, n_data: int) -> P:
         return P(*([None] * (x.ndim - 1) + [DATA_AXIS]))
     if x.shape[0] % n_data == 0:
         return P(*([DATA_AXIS] + [None] * (x.ndim - 1)))
+    # neither end dim divides (e.g. B4's SE-reduce (1,1,672,28)): FSDP is
+    # pure storage partitioning — ANY divisible dim keeps the kernel
+    # 1/n-resident; pick the largest so shards stay balanced. Without this
+    # the big squeeze-excite kernels silently fell back to full
+    # replication at the shipped B4 shapes
+    # (tests/test_flagship_multichip.py).
+    divisible = [d for d in range(x.ndim) if x.shape[d] % n_data == 0]
+    if divisible:
+        d = max(divisible, key=lambda i: x.shape[i])
+        return P(*[DATA_AXIS if i == d else None for i in range(x.ndim)])
     return P()
 
 

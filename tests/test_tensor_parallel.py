@@ -31,7 +31,12 @@ class TestTensorParallel:
 
         k4 = np.zeros((3, 3, 16, 32))
         assert pmesh.tp_param_spec(k4, 4) == P(None, None, None, "model")
-        assert pmesh.tp_param_spec(np.zeros((3, 3, 16, 30)), 4) == P()
+        # output channels indivisible -> row-parallel on the input dim
+        # (round 5: B4's SE-reduce kernels used to silently replicate)
+        assert pmesh.tp_param_spec(np.zeros((3, 3, 16, 30)), 4) == \
+            P(None, None, "model", None)
+        # neither channel dim divisible -> replicate
+        assert pmesh.tp_param_spec(np.zeros((3, 3, 15, 30)), 4) == P()
         assert pmesh.tp_param_spec(np.zeros(32), 4) == P("model")
         assert pmesh.tp_param_spec(np.zeros(30), 4) == P()
         assert pmesh.tp_param_spec(k4, 1) == P()
