@@ -1,6 +1,6 @@
 """COMPOSED host+device training throughput: one end-to-end tiles/sec.
 
-bench.py (612 t/s inference) and train_bench.py (404 t/s train step) are
+bench.py (612 t/s inference) and train_bench.py (279 t/s train step) are
 device-only; loader_bench.py (~225 t/s/worker) is host-only. This tool runs
 the REAL pipeline end to end — synthetic GeoTIFF tiles on disk, the
 threaded prefetching DataLoader (decode + normalise [+ aug + targets]),

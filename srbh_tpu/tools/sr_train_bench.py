@@ -8,6 +8,13 @@ real/fake passes with power-iteration updates, both Adam updates, EMA —
 timed with the relay-honest recipe (N steps chained through the
 GANTrainState carry inside one jit, scalar-transfer sync).
 
+Measured (one v5e chip, bf16): **29.7 t/s @ b12** (403.6 ms/step); the
+reference's 400k-iter recipe is ~45 h on one chip. NOTE: lq/gt must be
+carry-dependent — with an invariant gt, XLA LICM hoists the VGG19
+feature pass on the GT (~87 ms/step of real per-batch work) out of the
+loop and the bench reads 37.9 (see train_bench.build_chained for the
+same finding on the height step).
+
 Usage: python -m srbh_tpu.tools.sr_train_bench [batch] [chain_steps]
    or: python bench.py --sr-train [batch]
 """
@@ -53,8 +60,13 @@ def main(batch: int = 12, chain: int = 4, num_block: int = 23,
     @jax.jit
     def chained(state, lq, gt):
         def body(i, carry):
-            state, _ = carry
-            state, m = step(state, lq, gt)
+            state, metrics = carry
+            # carry-dependent inputs: everything heavy already depends on
+            # the per-step params, but the USM sharpen of gt is otherwise
+            # loop-invariant and LICM-hoistable — keep it in the loop like
+            # a real data stream would
+            state, m = step(state, lq + 1e-12 * metrics["l_g_total"],
+                            gt + 1e-12 * metrics["l_g_total"])
             return state, {k: jnp.asarray(v, jnp.float32)
                            for k, v in m.items()}
         zero = jnp.float32(0)

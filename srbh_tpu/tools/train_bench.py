@@ -10,10 +10,19 @@ Reference point: the PyTorch reference trains batch 16 on a single CUDA GPU
 (train.py:97); it publishes no throughput numbers (BASELINE.md), so the
 figure here is the TPU-native record to track across rounds.
 
-Measured sweep (one v5e chip, bf16, median of 3):
-226 t/s @ b64 (283 ms/step), **404 t/s @ b128 (316 ms/step, default)**,
-375 t/s @ b256 (683 ms/step).  At 404 t/s the reference's full training
-budget (45k tiles x 0.7 train split x 20 epochs) is ~26 minutes on ONE chip.
+Measured sweep (one v5e chip, bf16, median of 3, LICM-proof chain — see
+``build_chained``): 132.6 t/s @ b64 (482 ms/step), **279.2 t/s @ b128
+(459 ms/step, default)**, 277.2 t/s @ b256 (923 ms/step), 218.6 @ b192
+(non-power-of-2 batches tile badly — avoid). At 279 t/s the reference's
+full training budget (45k tiles x 0.7 train split x 20 epochs) is ~38
+minutes on ONE chip.
+
+HISTORY: rounds 2-4 reported 226/404/375 t/s for this sweep. Those
+numbers were measured with a loop-INVARIANT batch: XLA's while-loop LICM
+hoisted the frozen-SR pass (135 GFLOP/tile) out of the timed chain, so
+they covered only the height fwd+bwd+Adam slice. The apparent b128->b256
+"drop" (404->375) was an artifact of that slice; the honest step is flat
+b128->b256. Guarded by tests/test_bench_chains.py.
 
 Usage: python -m srbh_tpu.tools.train_bench [batch] [chain_steps]
 Env: SRBH_TRAIN_REMAT=1 re-measures with the 256^2 fusion stack
@@ -40,6 +49,34 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPEATS = 3
+
+
+def build_chained(step, chain: int):
+    """Chain ``chain`` train steps through the state carry inside ONE jit.
+
+    The previous step's loss is threaded into the image: the frozen-SR
+    pass otherwise depends only on loop invariants and XLA's while-loop
+    LICM hoists it clean out of the chain (measured on chip: the hoisted
+    bench read 398 t/s @ b128 vs the honest number — the fwd-only timing
+    EXCEEDING the "full step" was the smoking gun). The 1e-12 * loss
+    perturbation is far below the data's quantisation noise but makes the
+    input genuinely carry-dependent. tests/test_bench_chains.py compiles
+    this exact chain and asserts every convolution stays inside the
+    while-loop body.
+    """
+    @jax.jit
+    def chained(state, sr_params, batch_dict):
+        def body(i, carry):
+            state, metrics = carry
+            bd = dict(batch_dict)
+            bd["image"] = batch_dict["image"] + 1e-12 * metrics["loss"]
+            return step(state, sr_params, bd, jnp.float32(1e-3))
+        state, metrics = jax.lax.fori_loop(
+            0, chain, body, (state, {"loss": jnp.float32(0),
+                                     "rmse": jnp.float32(0),
+                                     "log_vars": state.log_vars}))
+        return state, metrics
+    return chained
 
 
 def main(batch: int = 128, chain: int = 4):
@@ -84,16 +121,7 @@ def main(batch: int = 128, chain: int = 4):
         }
         step = make_train_step(model, sr, isaggre=True, seed=1337)
 
-    @jax.jit
-    def chained(state, sr_params, batch_dict):
-        def body(i, carry):
-            state, _ = carry
-            return step(state, sr_params, batch_dict, jnp.float32(1e-3))
-        state, metrics = jax.lax.fori_loop(
-            0, chain, body, (state, {"loss": jnp.float32(0),
-                                     "rmse": jnp.float32(0),
-                                     "log_vars": state.log_vars}))
-        return state, metrics
+    chained = build_chained(step, chain)
 
     state2, metrics = chained(state, sr_params, batch_dict)
     loss = float(metrics["loss"])  # sync

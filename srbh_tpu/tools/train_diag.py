@@ -1,14 +1,22 @@
-"""Per-stage diagnosis of train-step throughput vs batch (the b128->b256
-drop flagged in round 4: 404 t/s @ b128 vs 375 @ b256).
+"""Per-stage diagnosis of train-step throughput vs batch.
+
+Built for the b128->b256 drop flagged in round 4 (404 t/s @ b128 vs 375
+@ b256) — and it found the real cause: those numbers came from a chain
+whose batch was loop-invariant, so XLA's while-loop LICM hoisted the
+frozen-SR pass out of the timed loop (the first run of this tool showed
+the loss-FORWARD-only timing exceeding the "full step", which is
+impossible for an honest chain). With the LICM-proof chain
+(train_bench.build_chained) the honest step is flat: 279.2 t/s @ b128 vs
+277.2 @ b256. See tests/test_bench_chains.py.
 
 For each batch size this times, with the relay-honest chained recipe:
   * ``sr``      — the frozen RRDBNet-23 feature forward alone
-  * ``fwd``     — the full loss forward (no grad)
-  * ``step``    — the full fused train step (fwd + bwd + Adam)
-and reports the device memory_stats peak after the step, so an
-HBM-pressure explanation (spills / defrag at b256) is visible directly.
-``SRBH_TRAIN_REMAT=1`` re-measures with the 256^2 fusion stack
-rematerialised.
+  * ``fwd``     — the full loss forward incl. the SR pass (no grad)
+  * ``step``    — the full fused train step (SR + fwd + bwd + Adam)
+and reports the device memory_stats peak after the step where available
+(the axon relay returns zeros), so an HBM-pressure explanation (spills /
+defrag) is visible directly on real hardware. ``SRBH_TRAIN_REMAT=1``
+re-measures with the 256^2 fusion stack rematerialised.
 
 Usage: python -m srbh_tpu.tools.train_diag [batch ...]   (default 128 256)
 """
@@ -96,12 +104,50 @@ def run(batch: int):
 
     t_sr = _time_chained(sr_chain, sr_params, x)
 
+    # --- full loss forward (train-mode BN, adaptive losses, NO grad),
+    # chained via a scalar perturbation of the image (data dependence)
+    from srbh_tpu.losses.adaptive import (ce_dice_adapt_weight,
+                                          mse_adapt_weight)
+
+    def loss_only(params, log_vars, batch_stats, img, key):
+        sr_fea = sr.apply(sr_params, img[..., :3].astype(dtype),
+                          features_only=True)
+        outs, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            img, jax.lax.stop_gradient(sr_fea), train=True,
+            mutable=["batch_stats"], rngs={"dropout": key})
+        height, build, aggre = outs
+        return (mse_adapt_weight(height[..., 0], batch_dict["height"],
+                                 batch_dict["weight"], log_vars[0])
+                + mse_adapt_weight(aggre[..., 0],
+                                   batch_dict["height_aggre"],
+                                   batch_dict["weight_aggre"], log_vars[1])
+                + ce_dice_adapt_weight(build, batch_dict["build"],
+                                       batch_dict["weight"], log_vars[2]))
+
+    @jax.jit
+    def fwd_chain(state, img):
+        def body(i, carry):
+            loss = loss_only(state.params, state.log_vars,
+                             state.batch_stats, carry,
+                             jax.random.fold_in(rng, i))
+            return img + 1e-12 * loss.astype(img.dtype)
+        return jax.lax.fori_loop(0, CHAIN, body, img)
+
+    # f32 carry, exactly like the real step's batch["image"]
+    t_fwd = _time_chained(fwd_chain, state, x)
+
     # --- full train step chained via the state carry
     @jax.jit
     def step_chain(state, sr_params, batch_dict):
         def body(i, carry):
-            st, _ = carry
-            return step(st, sr_params, batch_dict, jnp.float32(1e-3))
+            st, metrics = carry
+            # carry-dependent image: defeats while-loop LICM of the
+            # frozen-SR pass (see train_bench.py — hoisting inflated the
+            # step throughput ~60%)
+            bd = dict(batch_dict)
+            bd["image"] = batch_dict["image"] + 1e-12 * metrics["loss"]
+            return step(st, sr_params, bd, jnp.float32(1e-3))
         return jax.lax.fori_loop(
             0, CHAIN, body,
             (state, {"loss": jnp.float32(0), "rmse": jnp.float32(0),
@@ -112,6 +158,7 @@ def run(batch: int):
     rec = {
         "batch": batch, "remat": remat,
         "sr_fwd_ms": round(t_sr * 1000, 1),
+        "loss_fwd_ms": round(t_fwd * 1000, 1),
         "step_ms": round(t_step * 1000, 1),
         "tiles_per_sec": round(batch / t_step, 1),
         "peak_bytes_in_use_gb": round(
