@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from srbh_tpu.losses.adaptive import softmax_cross_entropy
+from srbh_tpu.losses.adaptive import pick_class, softmax_cross_entropy
 
 
 def _one_hot(labels, num_classes):
@@ -198,7 +198,7 @@ def focal_loss(logits, labels, alpha=None, gamma: float = 2.0,
     else:  # float
         alpha_vec = jnp.full((num_class,), 1 - float(alpha))
         alpha_vec = alpha_vec.at[balance_index].set(float(alpha))
-    pt = jnp.take_along_axis(probs, target[:, None].astype(jnp.int32), 1)[:, 0]
+    pt = pick_class(probs, target)
     if smooth:
         pt = jnp.clip(pt, smooth, 1.0 - smooth)
     logpt = jnp.log(pt)
@@ -241,7 +241,7 @@ def lovasz_softmax(probs, labels):
 def topk_ce_loss(logits, labels, k: float = 10.0):
     """TopKLoss (ND_Crossentropy.py:38-53): mean of the top k% pixel CEs."""
     logp = jax.nn.log_softmax(logits, -1)
-    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), -1)[..., 0]
+    ce = -pick_class(logp, labels)
     flat = ce.reshape(-1)
     num = max(1, int(flat.shape[0] * k / 100))
     top, _ = jax.lax.top_k(flat, num)
@@ -251,7 +251,7 @@ def topk_ce_loss(logits, labels, k: float = 10.0):
 def weighted_ce_loss(logits, labels, weight: Optional[Sequence[float]] = None):
     """WeightedCrossEntropyLoss (ND_Crossentropy.py:56-80)."""
     logp = jax.nn.log_softmax(logits, -1)
-    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), -1)[..., 0]
+    ce = -pick_class(logp, labels)
     if weight is None:
         return ce.mean()
     w = jnp.asarray(weight, jnp.float32)[labels.astype(jnp.int32)]
@@ -267,7 +267,7 @@ def dist_penalized_ce(logits, labels, dist_map):
     """
     del dist_map  # computed-but-unused in the reference
     logp = jax.nn.log_softmax(logits, -1)
-    ce = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), -1)[..., 0]
+    ce = -pick_class(logp, labels)
     return ce.mean()
 
 
@@ -276,8 +276,7 @@ def nll_loss(log_probs, labels):
 
     ``log_probs``: (N, C) already-log-softmaxed scores; ``labels``: (N,) ints.
     """
-    picked = jnp.take_along_axis(
-        log_probs, labels[:, None].astype(jnp.int32), axis=1)[:, 0]
+    picked = pick_class(log_probs, labels)
     return -picked.mean()
 
 

@@ -11,18 +11,25 @@ Reference point: the PyTorch reference trains batch 16 on a single CUDA GPU
 figure here is the TPU-native record to track across rounds.
 
 Measured sweep (one v5e chip, bf16, median of 3, LICM-proof chain — see
-``build_chained``): 132.6 t/s @ b64 (482 ms/step), **279.2 t/s @ b128
-(459 ms/step, default)**, 277.2 t/s @ b256 (923 ms/step), 218.6 @ b192
-(non-power-of-2 batches tile badly — avoid). At 279 t/s the reference's
-full training budget (45k tiles x 0.7 train split x 20 epochs) is ~38
-minutes on ONE chip.
+``build_chained``): **379.1 t/s @ b128 (337.7 ms/step, default)**,
+377.8 t/s @ b256 (677.6 ms/step); avoid non-power-of-2 batches (218.6
+@ b192 pre-loss-fix — they tile badly). At 379 t/s the reference's full
+training budget (45k tiles x 0.7 train split x 20 epochs) is ~28 minutes
+on ONE chip.
 
-HISTORY: rounds 2-4 reported 226/404/375 t/s for this sweep. Those
-numbers were measured with a loop-INVARIANT batch: XLA's while-loop LICM
-hoisted the frozen-SR pass (135 GFLOP/tile) out of the timed chain, so
-they covered only the height fwd+bwd+Adam slice. The apparent b128->b256
-"drop" (404->375) was an artifact of that slice; the honest step is flat
-b128->b256. Guarded by tests/test_bench_chains.py.
+HISTORY (two measurement/perf findings, round 5):
+* Rounds 2-4 reported 226/404/375 t/s @ b64/128/256. Those chains had a
+  loop-INVARIANT batch: XLA's while-loop LICM hoisted the frozen-SR pass
+  (135 GFLOP/tile) out of the timed chain, so they covered only the
+  height fwd+bwd+Adam slice. The apparent b128->b256 "drop" (404->375)
+  was an artifact of that slice; the honest step is flat b128->b256.
+  Guarded by tests/test_bench_chains.py.
+* The honest step then measured 279.2/277.2 t/s — and per-stage
+  attribution showed the adaptive LOSSES cost 120 ms/step @ b128, 4x the
+  height-model forward: ``take_along_axis`` on the class (lane) axis is
+  a per-pixel dynamic gather on TPU. Replacing it with a compare+select
+  +reduce (losses/adaptive.py:pick_class, bitwise-identical) cut the
+  loss to 3.5 ms => 279 -> 379 t/s (+36%).
 
 Usage: python -m srbh_tpu.tools.train_bench [batch] [chain_steps]
 Env: SRBH_TRAIN_REMAT=1 re-measures with the 256^2 fusion stack
