@@ -25,16 +25,15 @@ def cv2_gaussian_kernel(ksize: int, sigma: float = 0.0) -> np.ndarray:
     return k / k.sum()
 
 
-@functools.lru_cache(maxsize=4)
-def _usm_window(radius: int, sigma: float) -> np.ndarray:
-    if radius % 2 == 0:
-        radius += 1
-    k = cv2_gaussian_kernel(radius, sigma)
-    return np.outer(k, k)
-
-
 def filter2d_reflect(x: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
-    """Depthwise 2-D filter with reflect padding on (N, H, W, C)."""
+    """Depthwise 2-D filter with reflect padding on (N, H, W, C).
+
+    General (non-separable) ``filter2D`` twin. NOTE: a k x k depthwise
+    conv is GROUPED conv work that XLA:TPU runs off the MXU — at the USM
+    shapes (51 taps, 256^2 x 3 x 12) this measured 139 ms on chip, more
+    than the whole RRDBNet-23 generator forward. Separable windows must
+    use :func:`separable_filter_reflect` instead (USM's Gaussian is).
+    """
     k = window.shape[0]
     pad = k // 2
     x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
@@ -46,13 +45,46 @@ def filter2d_reflect(x: jnp.ndarray, window: np.ndarray) -> jnp.ndarray:
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
 
 
+@functools.lru_cache(maxsize=8)
+def _band_matrix(n: int, ktuple: tuple) -> np.ndarray:
+    """(n, n + k - 1) banded matrix B with B[i, i:i+k] = k1d: contracting
+    the reflect-padded axis with B equals the 1-D VALID correlation."""
+    k1d = np.asarray(ktuple, np.float64)
+    k = len(k1d)
+    B = np.zeros((n, n + k - 1), np.float64)
+    for i in range(n):
+        B[i, i:i + k] = k1d
+    return B
+
+
+def separable_filter_reflect(x: jnp.ndarray, k1d: np.ndarray) -> jnp.ndarray:
+    """Separable 2-D filter (outer(k1d, k1d)) with reflect padding, as two
+    banded-matrix contractions on (N, H, W, C).
+
+    TPU-native form of the Gaussian blur: each axis becomes a dense
+    (dim, dim+k-1) matmul that runs on the MXU, instead of a k x k
+    depthwise (grouped) conv on the VPU — measured 139 ms -> ~1 ms at the
+    USM shapes. Same math as the full-window conv up to float summation
+    order (the band rows carry exact zeros outside the window).
+    """
+    pad = len(k1d) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    bh = jnp.asarray(_band_matrix(x.shape[1], tuple(np.asarray(k1d))),
+                     x.dtype)
+    bw = jnp.asarray(_band_matrix(x.shape[2], tuple(np.asarray(k1d))),
+                     x.dtype)
+    t = jnp.einsum("ij,njwc->niwc", bh, xp)
+    return jnp.einsum("wj,nhjc->nhwc", bw, t)
+
+
 def usm_sharp(img: jnp.ndarray, weight: float = 0.5, radius: int = 50,
               threshold: float = 10.0, sigma: float = 0.0) -> jnp.ndarray:
     """USM sharpen a [0,1] NHWC image batch (rrdbnet_arch.py:425-434)."""
-    window = _usm_window(radius if radius % 2 else radius + 1, sigma)
-    blur = filter2d_reflect(img, window)
+    ksize = radius if radius % 2 else radius + 1
+    k1d = cv2_gaussian_kernel(ksize, sigma)
+    blur = separable_filter_reflect(img, k1d)
     residual = img - blur
     mask = (jnp.abs(residual) * 255.0 > threshold).astype(img.dtype)
-    soft_mask = filter2d_reflect(mask, window)
+    soft_mask = separable_filter_reflect(mask, k1d)
     sharp = jnp.clip(img + weight * residual, 0.0, 1.0)
     return soft_mask * sharp + (1.0 - soft_mask) * img

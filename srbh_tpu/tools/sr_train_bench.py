@@ -8,12 +8,16 @@ real/fake passes with power-iteration updates, both Adam updates, EMA —
 timed with the relay-honest recipe (N steps chained through the
 GANTrainState carry inside one jit, scalar-transfer sync).
 
-Measured (one v5e chip, bf16): **29.7 t/s @ b12** (403.6 ms/step); the
-reference's 400k-iter recipe is ~45 h on one chip. NOTE: lq/gt must be
-carry-dependent — with an invariant gt, XLA LICM hoists the VGG19
-feature pass on the GT (~87 ms/step of real per-batch work) out of the
-loop and the bench reads 37.9 (see train_bench.build_chained for the
-same finding on the height step).
+Measured (one v5e chip, bf16): **43.9 t/s @ b12** (273.3 ms/step; the
+reference's 400k-iter recipe is ~30 h on one chip) and **58.4 t/s @ b16
+at the SAME 273.8 ms/step** — batch 12 pads the MXU tiles, so the
+TPU-native recipe should use 16. History: first reading was 37.9 t/s
+with an invariant gt (XLA LICM hoisted the VGG19-on-GT pass, ~87 ms of
+real per-batch work — lq/gt must be carry-dependent; see
+train_bench.build_chained); the honest 29.7 t/s then broke down as USM
+139 ms / G fwd 69.6 / rest — the 51-tap Gaussian ran as a 51x51
+depthwise (grouped) conv off the MXU; the separable banded-matmul form
+(ops/usm.py:separable_filter_reflect) is 6.8 ms => 273 ms/step.
 
 Usage: python -m srbh_tpu.tools.sr_train_bench [batch] [chain_steps]
    or: python bench.py --sr-train [batch]
