@@ -158,8 +158,9 @@ def main_train(batch: int = 128):
     driver bench, so the training path gets the same per-round regression
     tracking the inference path has (delegates to
     srbh_tpu.tools.train_bench, which prints the one-line JSON). The
-    result is also appended to ``TRAIN_BENCH.json`` at the repo root —
-    commit it each round next to BENCH_r{N}.json."""
+    result is also written to ``TRAIN_BENCH.json`` at the repo root
+    (one record, overwritten per run) — copy it to
+    ``TRAIN_BENCH_r{N}.json`` and commit each round."""
     import contextlib
     import io
 
@@ -181,7 +182,12 @@ def main_train(batch: int = 128):
 if __name__ == "__main__":
     import sys
 
-    if "--train" in sys.argv:
+    if "--sr-train" in sys.argv:
+        from srbh_tpu.tools import sr_train_bench
+
+        rest = [a for a in sys.argv[1:] if a != "--sr-train"]
+        sr_train_bench.main(int(rest[0]) if rest else 12)
+    elif "--train" in sys.argv:
         rest = [a for a in sys.argv[1:] if a != "--train"]
         main_train(int(rest[0]) if rest else 128)
     else:

@@ -201,8 +201,15 @@ def _conic_t(phi, e):
 
 
 def _conic_q(phi, e):
-    """q(phi), the Albers equal-area auxiliary (Snyder 3-12)."""
+    """q(phi), the Albers equal-area auxiliary (Snyder 3-12).
+
+    Spherical limit (e=0): the bracket tends to 2 sin(phi) — required for
+    sphere-datum LAEA products (e.g. EASE-Grid v1 style WKTs), where the
+    general form would divide by e.
+    """
     s = np.sin(phi)
+    if e == 0.0:
+        return 2.0 * s
     es = e * s
     return (1.0 - e * e) * (s / (1.0 - es * es)
                             - (0.5 / e) * np.log((1.0 - es) / (1.0 + es)))

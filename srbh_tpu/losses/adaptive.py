@@ -31,11 +31,14 @@ def pick_class(values, labels):
     cost a measured ~120 ms/step — 4x the entire height-model forward.
     A compare+select+reduce touches Cx the data but is pure VPU work and
     is bitwise-identical for finite ``values`` (summing the single
-    selected element with C-1 exact zeros). Out-of-range labels return 0
-    where take_along_axis would clamp — all call sites mask labels first.
+    selected element with C-1 exact zeros). Labels are clamped to
+    [0, C-1] first — exactly ``take_along_axis``'s jit-mode 'clip'
+    semantics, so out-of-range labels behave as before the rewrite.
     """
-    classes = jnp.arange(values.shape[-1], dtype=jnp.int32)
-    mask = labels[..., None].astype(jnp.int32) == classes
+    nc = values.shape[-1]
+    classes = jnp.arange(nc, dtype=jnp.int32)
+    lab = jnp.clip(labels.astype(jnp.int32), 0, nc - 1)
+    mask = lab[..., None] == classes
     return jnp.sum(jnp.where(mask, values, 0), axis=-1)
 
 

@@ -78,7 +78,10 @@ def make_mesh(
 
         grid = mesh_utils.create_device_mesh(
             (n_data, n_model), devices=devices[: n_data * n_model])
-    except (ValueError, NotImplementedError, AssertionError) as e:
+    except (ValueError, NotImplementedError, AssertionError,
+            RuntimeError) as e:
+        # RuntimeError included: topology discovery raises it on exactly
+        # the odd backends/subsets this fallback exists for
         # device subsets/backends mesh_utils can't map; the row-major
         # fallback is correct but topology-blind — say so once, loudly
         # enough that divergent placement across jax.distributed

@@ -44,8 +44,6 @@ CHAIN = 4
 def _time_chained(fn, *args):
     """Median seconds per iteration of CHAIN data-dependent iterations."""
     out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: None, out)
     # sync on a scalar that depends on the chain
     leaves = [x for x in jax.tree_util.tree_leaves(out)
               if hasattr(x, "dtype")]
@@ -109,33 +107,34 @@ def run(batch: int):
     from srbh_tpu.losses.adaptive import (ce_dice_adapt_weight,
                                           mse_adapt_weight)
 
-    def loss_only(params, log_vars, batch_stats, img, key):
-        sr_fea = sr.apply(sr_params, img[..., :3].astype(dtype),
+    def loss_only(params, log_vars, batch_stats, img, key, sr_p, tgt):
+        sr_fea = sr.apply(sr_p, img[..., :3].astype(dtype),
                           features_only=True)
         outs, _ = model.apply(
             {"params": params, "batch_stats": batch_stats},
             img, jax.lax.stop_gradient(sr_fea), train=True,
             mutable=["batch_stats"], rngs={"dropout": key})
         height, build, aggre = outs
-        return (mse_adapt_weight(height[..., 0], batch_dict["height"],
-                                 batch_dict["weight"], log_vars[0])
-                + mse_adapt_weight(aggre[..., 0],
-                                   batch_dict["height_aggre"],
-                                   batch_dict["weight_aggre"], log_vars[1])
-                + ce_dice_adapt_weight(build, batch_dict["build"],
-                                       batch_dict["weight"], log_vars[2]))
+        return (mse_adapt_weight(height[..., 0], tgt["height"],
+                                 tgt["weight"], log_vars[0])
+                + mse_adapt_weight(aggre[..., 0], tgt["height_aggre"],
+                                   tgt["weight_aggre"], log_vars[1])
+                + ce_dice_adapt_weight(build, tgt["build"],
+                                       tgt["weight"], log_vars[2]))
 
+    # sr_params/targets are ARGS, not closures: a captured tree becomes
+    # an XLA constant hashed through the relay per compile (CLAUDE.md)
     @jax.jit
-    def fwd_chain(state, img):
+    def fwd_chain(state, sr_p, tgt, img):
         def body(i, carry):
             loss = loss_only(state.params, state.log_vars,
                              state.batch_stats, carry,
-                             jax.random.fold_in(rng, i))
+                             jax.random.fold_in(rng, i), sr_p, tgt)
             return img + 1e-12 * loss.astype(img.dtype)
         return jax.lax.fori_loop(0, CHAIN, body, img)
 
     # f32 carry, exactly like the real step's batch["image"]
-    t_fwd = _time_chained(fwd_chain, state, x)
+    t_fwd = _time_chained(fwd_chain, state, sr_params, batch_dict, x)
 
     # --- full train step chained via the state carry
     @jax.jit

@@ -184,10 +184,25 @@ def restore_into_state(state, payload: dict):
 
     tree = jax.tree_util.tree_map(jnp.asarray, payload["params"])
     stats = jax.tree_util.tree_map(jnp.asarray, payload["batch_stats"])
+    # A converted bare-state_dict tar (train/convert.py supports payloads
+    # without 'log_vars', e.g. encoder-only or SR checkpoints) has no
+    # log_vars; keep the state's current ones (zeros on a fresh state —
+    # the reference's init, train.py:178) rather than KeyError-ing. They
+    # only matter when resuming TRAINING mid-run, and a tar that carried
+    # them restores them exactly.
+    lv = payload.get("log_vars")
+    if lv is None:
+        import warnings
+
+        warnings.warn(
+            "checkpoint payload has no log_vars; keeping the current "
+            "(fresh-init) values — fine for eval/predict, but a training "
+            "resume will restart the adaptive loss weights", stacklevel=2)
+        lv = state.log_vars
     state = state.replace(
         params=tree,
         batch_stats=stats,
-        log_vars=jnp.asarray(payload["log_vars"]),
+        log_vars=jnp.asarray(lv),
         step=jnp.asarray(payload.get("step", 0), jnp.int32),
     )
     if payload.get("opt_state") is not None:
