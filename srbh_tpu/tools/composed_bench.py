@@ -37,7 +37,6 @@ import shutil
 import tempfile
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
 
@@ -74,9 +73,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
 
     from srbh_tpu import models
     from srbh_tpu.data.dataset import S12GlobeDataset

@@ -25,14 +25,10 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CHAIN = 24
 REPEATS = 3
@@ -104,6 +100,8 @@ CASES = {
 
 
 def main(only=None):
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
     out = {}
     for name, spec in CASES.items():
         if only and name not in only:

@@ -27,7 +27,6 @@ import shutil
 import tempfile
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
 
@@ -68,9 +67,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
 
     import __graft_entry__ as g
     from srbh_tpu.data.grid import GridImageDataset

@@ -35,14 +35,10 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CHAIN_ITERS = 4
 REPEATS = 3
@@ -75,6 +71,8 @@ def _chain(fn, x, *extras):
 
 
 def main(batch: int = 256, only=None):
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
     from srbh_tpu import models
 
     dtype = jnp.bfloat16

@@ -30,14 +30,10 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPEATS = 3
 
@@ -45,6 +41,8 @@ REPEATS = 3
 def main(batch: int = 12, chain: int = 4, num_block: int = 23,
          num_feat: int = 64, num_grow_ch: int = 32, lq_size: int = 64,
          perceptual: bool = True, disc_feat: int = 64):
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
     from srbh_tpu.train.sr_trainer import RealESRGANTrainer
 
     dtype = jnp.bfloat16

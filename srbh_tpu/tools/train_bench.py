@@ -46,14 +46,10 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPEATS = 3
 
@@ -87,6 +83,8 @@ def build_chained(step, chain: int):
 
 
 def main(batch: int = 128, chain: int = 4):
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
     from srbh_tpu import models
     from srbh_tpu.train.state import TrainState
     from srbh_tpu.train.steps import make_train_step

@@ -28,14 +28,8 @@ import statistics
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-
 import jax
 import jax.numpy as jnp
-
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REPEATS = 3
 CHAIN = 4
@@ -60,6 +54,8 @@ def _time_chained(fn, *args):
 
 
 def run(batch: int):
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
     from srbh_tpu import models
     from srbh_tpu.train.state import TrainState
     from srbh_tpu.train.steps import make_train_step
