@@ -183,10 +183,22 @@ if __name__ == "__main__":
     import sys
 
     if "--sr-train" in sys.argv:
+        # SR_TRAIN_BENCH.json gets the same per-round tracking TRAIN_BENCH
+        # has: copy to SR_TRAIN_BENCH_r{N}.json and commit each round
+        import contextlib
+        import io
+
         from srbh_tpu.tools import sr_train_bench
 
         rest = [a for a in sys.argv[1:] if a != "--sr-train"]
-        sr_train_bench.main(int(rest[0]) if rest else 12)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            sr_train_bench.main(int(rest[0]) if rest else 12)
+        line = buf.getvalue().strip().splitlines()[-1]
+        print(line)
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "SR_TRAIN_BENCH.json"), "w") as f:
+            f.write(line + "\n")
     elif "--train" in sys.argv:
         rest = [a for a in sys.argv[1:] if a != "--train"]
         main_train(int(rest[0]) if rest else 128)

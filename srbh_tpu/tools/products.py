@@ -564,7 +564,8 @@ def main_proc_product(product_tifs: Sequence[str], query_shps: Sequence[str],
 def _read_prj(shp_file: str) -> Optional[str]:
     prj = shp_file[:-4] + ".prj"
     if os.path.exists(prj):
-        return open(prj).read()
+        with open(prj) as f:
+            return f.read()
     return None
 
 

@@ -11,11 +11,13 @@ Reference point: the PyTorch reference trains batch 16 on a single CUDA GPU
 figure here is the TPU-native record to track across rounds.
 
 Measured sweep (one v5e chip, bf16, median of 3, LICM-proof chain — see
-``build_chained``): **379.1 t/s @ b128 (337.7 ms/step, default)**,
-377.8 t/s @ b256 (677.6 ms/step); avoid non-power-of-2 batches (218.6
-@ b192 pre-loss-fix — they tile badly). At 379 t/s the reference's full
-training budget (45k tiles x 0.7 train split x 20 epochs) is ~28 minutes
-on ONE chip.
+``build_chained``): 150.3 t/s @ b64 (425.8 ms — the frozen trunk alone
+takes 277.9 ms at b64 vs 196.3 at b128: XLA's conv tiling is
+pathological there, don't use it), **379.1 t/s @ b128 (337.7 ms/step,
+default)**, 276.0 @ b192 (non-pow2 tiles badly), 377.8 t/s @ b256
+(677.6 ms/step); remat @ b128 344.9 (a pure ~33 ms recompute cost
+single-chip). At 379 t/s the reference's full training budget (45k
+tiles x 0.7 train split x 20 epochs) is ~28 minutes on ONE chip.
 
 HISTORY (two measurement/perf findings, round 5):
 * Rounds 2-4 reported 226/404/375 t/s @ b64/128/256. Those chains had a
