@@ -47,8 +47,6 @@ import statistics
 import threading
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
-
 # Watchdog: a wedged TPU tunnel makes the XLA client HANG (not error) on
 # the first transfer — observed live. Better to die with a diagnostic than
 # eat the caller's whole time budget. Generous default: a COLD compile of
@@ -71,10 +69,6 @@ threading.Thread(target=_watchdog, daemon=True).start()
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
 REFERENCE_TILES_PER_SEC_EST = 30.0
 BATCH = 256
 CHAIN_ITERS = 6
@@ -88,6 +82,8 @@ PACKED = os.environ.get("SRBH_BENCH_PACKED", "") == "1"
 
 
 def main():
+    from srbh_tpu.tools._cache import enable_compilation_cache
+    enable_compilation_cache()
     from srbh_tpu import models
 
     dtype = jnp.bfloat16
@@ -153,52 +149,50 @@ def main():
     }))
 
 
-def main_train(batch: int = 128):
-    """``python bench.py --train [batch]``: the TRAIN-step twin of the
-    driver bench, so the training path gets the same per-round regression
-    tracking the inference path has (delegates to
-    srbh_tpu.tools.train_bench, which prints the one-line JSON). The
-    result is also written to ``TRAIN_BENCH.json`` at the repo root
-    (one record, overwritten per run) — copy it to
-    ``TRAIN_BENCH_r{N}.json`` and commit each round."""
+def _run_tracked(bench_main, batch: int, out_name: str):
+    """Run a tool's main(batch), validate its one-line JSON, echo it, and
+    write it to ``<out_name>`` at the repo root (one record, overwritten
+    per run) — copy to ``<out_name minus .json>_r{N}.json`` and commit
+    each round, like BENCH_r{N}.json."""
     import contextlib
     import io
 
-    from srbh_tpu.tools import train_bench
-
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        train_bench.main(batch)
+        bench_main(batch)
     line = buf.getvalue().strip().splitlines()[-1]
     print(line)
-    rec = json.loads(line)
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "TRAIN_BENCH.json")
+    rec = json.loads(line)  # refuse to track a non-JSON tail line
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name)
     with open(path, "w") as f:
         json.dump(rec, f)
         f.write("\n")
+
+
+def main_train(batch: int = 128):
+    """``python bench.py --train [batch]``: the TRAIN-step twin of the
+    driver bench (delegates to srbh_tpu.tools.train_bench), tracked in
+    ``TRAIN_BENCH.json``."""
+    from srbh_tpu.tools import train_bench
+
+    _run_tracked(train_bench.main, batch, "TRAIN_BENCH.json")
+
+
+def main_sr_train(batch: int = 12):
+    """``python bench.py --sr-train [batch]``: the SR-GAN step bench
+    (delegates to srbh_tpu.tools.sr_train_bench), tracked in
+    ``SR_TRAIN_BENCH.json``."""
+    from srbh_tpu.tools import sr_train_bench
+
+    _run_tracked(sr_train_bench.main, batch, "SR_TRAIN_BENCH.json")
 
 
 if __name__ == "__main__":
     import sys
 
     if "--sr-train" in sys.argv:
-        # SR_TRAIN_BENCH.json gets the same per-round tracking TRAIN_BENCH
-        # has: copy to SR_TRAIN_BENCH_r{N}.json and commit each round
-        import contextlib
-        import io
-
-        from srbh_tpu.tools import sr_train_bench
-
         rest = [a for a in sys.argv[1:] if a != "--sr-train"]
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            sr_train_bench.main(int(rest[0]) if rest else 12)
-        line = buf.getvalue().strip().splitlines()[-1]
-        print(line)
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SR_TRAIN_BENCH.json"), "w") as f:
-            f.write(line + "\n")
+        main_sr_train(int(rest[0]) if rest else 12)
     elif "--train" in sys.argv:
         rest = [a for a in sys.argv[1:] if a != "--train"]
         main_train(int(rest[0]) if rest else 128)

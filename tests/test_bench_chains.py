@@ -42,6 +42,8 @@ os.environ["JAX_DISABLE_MOST_OPTIMIZATIONS"] = "0"  # LICM needs full opts
 import jax
 import jax.numpy as jnp
 jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", \
+    "cpu override regressed: refusing to compile over the TPU tunnel"
 
 from srbh_tpu import models
 from srbh_tpu.tools._hlo import conv_placement
@@ -93,9 +95,15 @@ print(json.dumps({"honest": [t_h, b_h], "invariant": [t_i, b_i]}))
 
 @pytest.fixture(scope="module")
 def placements():
+    # JAX_COMPILATION_CACHE_DIR stripped too: jax seeds its config from
+    # it, and a warm /tmp/jaxcache would feed the full-opt subprocess
+    # persistent XLA:CPU AOT entries — the exact machine-feature-mismatch
+    # reload class this isolation exists to quarantine (same reason
+    # __graft_entry__._bootstrap_virtual_mesh pops it)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
-                        "JAX_DISABLE_MOST_OPTIMIZATIONS")}
+                        "JAX_DISABLE_MOST_OPTIMIZATIONS",
+                        "JAX_COMPILATION_CACHE_DIR")}
     out = subprocess.run(
         [sys.executable, "-c", _SCRIPT], env=env, capture_output=True,
         text=True, timeout=1200,

@@ -47,15 +47,15 @@ def test_dp_gan_step_matches_single_device(setup):
     for k in ("l_g_pix", "l_g_gan", "l_g_total", "l_d_real", "l_d_fake"):
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-5,
                                    err_msg=k)
-    # post-step generator params and EMA match the single-device update
-    for a, b in zip(jax.tree_util.tree_leaves(state1.g_params),
-                    jax.tree_util.tree_leaves(state2.g_params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(state1.d_vars),
-                    jax.tree_util.tree_leaves(state2.d_vars)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-6)
+    # post-step generator params, EMA, and discriminator (incl. SN
+    # power-iteration state) match the single-device update;
+    # tree_map asserts equal tree STRUCTURE, not just a zipped prefix
+    for name in ("g_params", "g_ema", "d_vars"):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+                err_msg=name),
+            getattr(state1, name), getattr(state2, name))
 
 
 def test_dp_gan_second_step_stays_sharded(setup):
