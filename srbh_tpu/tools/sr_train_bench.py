@@ -19,6 +19,13 @@ train_bench.build_chained); the honest 29.7 t/s then broke down as USM
 depthwise (grouped) conv off the MXU; the separable banded-matmul form
 (ops/usm.py:separable_filter_reflect) is 6.8 ms => 273 ms/step.
 
+Batch scaling (measured): b12 and b16 run at the SAME ~273 ms/step
+(43.9 vs 58.4 t/s — b12 pads the MXU tiles); b24+ OOMs without remat
+(21.4G > 15.75G HBM: the bwd keeps every RRDB activation).
+``SRBH_SR_REMAT=1`` re-measures with per-RRDB rematerialisation
+(RealESRGANTrainer(remat=True)) — the HBM-for-FLOPs knob for larger
+batches.
+
 Usage: python -m srbh_tpu.tools.sr_train_bench [batch] [chain_steps]
    or: python bench.py --sr-train [batch]
 """
@@ -47,9 +54,10 @@ def main(batch: int = 12, chain: int = 4, num_block: int = 23,
 
     dtype = jnp.bfloat16
     rng = jax.random.PRNGKey(0)
+    remat = os.environ.get("SRBH_SR_REMAT", "0") == "1"
     tr = RealESRGANTrainer(num_block=num_block, num_feat=num_feat,
                            num_grow_ch=num_grow_ch, perceptual=perceptual,
-                           disc_feat=disc_feat, dtype=dtype)
+                           disc_feat=disc_feat, dtype=dtype, remat=remat)
     lq_shape = (batch, lq_size, lq_size, 3)
     state = tr.init(rng, lq_shape)
     step = tr.make_step()
